@@ -1,0 +1,37 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware (SURVEY.md section 4: distributed-without-a-cluster).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def bunny_data():
+    """The bundled bunny fixtures: 6 masks + poses (examples.cc:75-152)."""
+    from vacancy_tpu.io import load_mask, load_tum_poses
+
+    poses = load_tum_poses(os.path.join(REFERENCE_DATA, "tumpose.txt"))
+    masks = np.stack(
+        [
+            load_mask(os.path.join(REFERENCE_DATA, f"mask_{i:05d}.png"))
+            for i in range(6)
+        ]
+    )
+    return poses, masks
+
+
+@pytest.fixture(scope="session")
+def bunny_gt():
+    from vacancy_tpu.mesh import Mesh
+
+    return Mesh.load_ply(os.path.join(REFERENCE_DATA, "GT.ply"))

@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from vacancy_tpu.camera import OrthoCamera, PinholeCamera, stack_cameras
+from vacancy_tpu.io.tum import quat_to_rotmat
+
+
+def _random_pose(seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    c2w = np.eye(4)
+    c2w[:3, :3] = quat_to_rotmat(*q)
+    c2w[:3, 3] = rng.normal(size=3) * 10
+    return c2w
+
+
+def test_w2c_is_inverse():
+    cam = PinholeCamera.create(320, 240, c2w=_random_pose())
+    m = np.asarray(cam.c2w) @ np.asarray(cam.w2c)
+    np.testing.assert_allclose(m, np.eye(4), atol=1e-5)
+
+
+def test_project_unproject_roundtrip():
+    cam = PinholeCamera.create(
+        320,
+        240,
+        principal_point=np.array([159.3, 127.65]),
+        focal_length=np.array([258.65, 258.25]),
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    uv, d = cam.project(pts)
+    back = cam.unproject(uv, d)
+    np.testing.assert_allclose(np.asarray(back), pts, rtol=1e-4, atol=1e-4)
+
+
+def test_project_formula():
+    # u = fx * x / z + cx (camera.cc:131-137)
+    cam = PinholeCamera.create(
+        640, 480, focal_length=np.array([500.0, 510.0]),
+        principal_point=np.array([320.0, 240.0]),
+    )
+    uv, d = cam.project(np.array([1.0, 2.0, 4.0], np.float32))
+    assert np.asarray(uv)[0] == pytest.approx(500.0 * 1.0 / 4.0 + 320.0)
+    assert np.asarray(uv)[1] == pytest.approx(510.0 * 2.0 / 4.0 + 240.0)
+    assert float(d) == pytest.approx(4.0)
+
+
+def test_fov_focal_roundtrip():
+    cam = PinholeCamera.create(640, 480, fov_y_deg=60.0)
+    assert float(cam.fov_y) == pytest.approx(60.0, rel=1e-5)
+    # fov ctor sets fx = fy (camera.cc:114-120)
+    fl = np.asarray(cam.focal_length)
+    assert fl[0] == fl[1]
+
+
+def test_world_to_camera_matches_manual():
+    c2w = _random_pose(3)
+    cam = PinholeCamera.create(320, 240, c2w=c2w)
+    pts = np.random.default_rng(1).normal(size=(10, 3))
+    w2c = np.linalg.inv(c2w)
+    want = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    got = np.asarray(cam.world_to_camera(pts.astype(np.float32)))
+    # f32 pose storage + f32 matmul vs f64 manual math
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_ray_w_points_at_pixel():
+    cam = PinholeCamera.create(320, 240, c2w=_random_pose(5), fov_y_deg=50.0)
+    uv = np.array([100.0, 50.0], np.float32)
+    org, d = cam.ray_w(uv)
+    # marching along the ray then projecting lands back on the pixel
+    p_w = np.asarray(org) + 3.7 * np.asarray(d)
+    p_c = cam.world_to_camera(p_w)
+    uv2, _ = cam.project(p_c)
+    np.testing.assert_allclose(np.asarray(uv2), uv, atol=1e-3)
+
+
+def test_ortho_camera():
+    cam = OrthoCamera.create(320, 240, c2w=_random_pose(7))
+    pts = np.array([[1.0, 2.0, 3.0]], np.float32)
+    uv, d = cam.project(pts)
+    np.testing.assert_allclose(np.asarray(uv), [[1.0, 2.0]])
+    np.testing.assert_allclose(np.asarray(d), [3.0])
+    back = cam.unproject(uv, d)
+    np.testing.assert_allclose(np.asarray(back), pts)
+
+
+def test_stack_cameras():
+    cams = [
+        PinholeCamera.create(320, 240, c2w=_random_pose(i), fov_y_deg=45)
+        for i in range(4)
+    ]
+    batched = stack_cameras(cams)
+    assert batched.w2c.shape == (4, 4, 4)
+    assert batched.principal_point.shape == (4, 2)
+    np.testing.assert_allclose(
+        np.asarray(batched.w2c[2]), np.asarray(cams[2].w2c)
+    )

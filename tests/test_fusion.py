@@ -1,0 +1,218 @@
+"""Fusion semantics tests against a straightforward per-voxel oracle.
+
+The oracle mirrors the reference hot loop (voxel_carver.cc:442-491) and
+update rules (voxel_carver.cc:78-95) literally, voxel by voxel, so any
+semantic drift in the vectorized/TPU implementation shows up here.
+"""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.camera import PinholeCamera
+from vacancy_tpu.config import (
+    INVALID_SDF,
+    SdfInterpolation,
+    UpdateOutsideImage,
+    VoxelUpdate,
+    VoxelUpdateOption,
+)
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.fusion import carve_views
+
+
+def oracle_carve(sdf, un, grid, w2c, pp, fl, sdf_img, roi, opt):
+    sdf = sdf.copy()
+    un = un.copy()
+    h, w = sdf_img.shape
+    x0, y0, x1, y1 = roi
+    max_sdf = sdf_img.max()
+    cx, cy, cz = (grid.axis_centers(a) for a in range(3))
+    nz, ny, nx = sdf.shape
+    for zi in range(nz):
+        for yi in range(ny):
+            for xi in range(nx):
+                if un[zi, yi, xi] > opt.voxel_max_update_num:
+                    continue
+                pos = np.array([cx[xi], cy[yi], cz[zi]], np.float32)
+                pc = w2c[:3, :3] @ pos + w2c[:3, 3]
+                if pc[2] < 0:
+                    continue
+                u = fl[0] / pc[2] * pc[0] + pp[0]
+                v = fl[1] / pc[2] * pc[1] + pp[1]
+                dist = INVALID_SDF
+                if u < x0 or v < y0 or u > x1 or v > y1:
+                    if opt.update_outside == UpdateOutsideImage.NONE:
+                        continue
+                    dist = max_sdf
+                else:
+                    if opt.sdf_interp == SdfInterpolation.NN:
+                        ui = min(max(int(np.round(u)), x0), x1)
+                        vi = min(max(int(np.round(v)), y0), y1)
+                        dist = sdf_img[vi, ui]
+                    else:
+                        pu0, pv0 = int(np.floor(u)), int(np.floor(v))
+                        pu1, pv1 = pu0 + 1, pv0 + 1
+                        pu0, pv0 = max(pu0, x0), max(pv0, y0)
+                        pu1, pv1 = min(pu1, x1), min(pv1, y1)
+                        lu, lv = u - pu0, v - pv0
+                        dist = (
+                            (1 - lu) * (1 - lv) * sdf_img[pv0, pu0]
+                            + lu * (1 - lv) * sdf_img[pv0, pu1]
+                            + (1 - lu) * lv * sdf_img[pv1, pu0]
+                            + lu * lv * sdf_img[pv1, pu1]
+                        )
+                if opt.use_truncation and dist < -1.0:
+                    continue
+                if un[zi, yi, xi] < 1:
+                    sdf[zi, yi, xi] = dist
+                    un[zi, yi, xi] += 1
+                    continue
+                if opt.voxel_update == VoxelUpdate.MAX:
+                    if dist > sdf[zi, yi, xi]:
+                        sdf[zi, yi, xi] = dist
+                        un[zi, yi, xi] += 1
+                else:
+                    wgt = opt.voxel_update_weight
+                    n = un[zi, yi, xi]
+                    sdf[zi, yi, xi] = (
+                        wgt * n * sdf[zi, yi, xi] + wgt * dist
+                    ) / (wgt * (n + 1))
+                    un[zi, yi, xi] += 1
+    return sdf, un
+
+
+def _setup(seed=0, opt=None):
+    rng = np.random.default_rng(seed)
+    grid = GridSpec(bb_min=(-1.0, -1.0, 0.5), bb_max=(1.0, 1.0, 2.5),
+                    resolution=0.25)
+    h, w = 24, 32
+    cam = PinholeCamera.create(
+        w, h,
+        principal_point=np.array([15.5, 11.5], np.float32),
+        focal_length=np.array([20.0, 20.0], np.float32),
+    )
+    sdf_img = rng.normal(size=(h, w)).astype(np.float32)
+    return grid, cam, sdf_img
+
+
+@pytest.mark.parametrize("update", [VoxelUpdate.MAX, VoxelUpdate.WEIGHTED_AVERAGE])
+@pytest.mark.parametrize(
+    "interp", [SdfInterpolation.NN, SdfInterpolation.BILINEAR]
+)
+def test_single_view_matches_oracle(update, interp):
+    grid, cam, sdf_img = _setup(0)
+    opt = VoxelUpdateOption(voxel_update=update, sdf_interp=interp)
+    state = VoxelGridState.create(grid)
+    h, w = sdf_img.shape
+    roi = (0, 0, w - 1, h - 1)
+
+    got = carve_views(
+        state, grid, cam.w2c, cam.principal_point, cam.focal_length,
+        np.asarray(sdf_img), roi, opt,
+    )
+    want_sdf, want_un = oracle_carve(
+        np.asarray(state.sdf), np.asarray(state.update_num), grid,
+        np.asarray(cam.w2c), np.asarray(cam.principal_point),
+        np.asarray(cam.focal_length), sdf_img, roi, opt,
+    )
+    np.testing.assert_allclose(np.asarray(got.sdf), want_sdf, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.update_num), want_un)
+
+
+@pytest.mark.parametrize("update", [VoxelUpdate.MAX, VoxelUpdate.WEIGHTED_AVERAGE])
+def test_multi_view_sequential_equivalence(update):
+    """A batched carve must equal per-view sequential carves."""
+    grid, cam, _ = _setup(1)
+    rng = np.random.default_rng(2)
+    opt = VoxelUpdateOption(voxel_update=update)
+    n_views = 4
+    h, w = 24, 32
+    imgs = rng.normal(size=(n_views, h, w)).astype(np.float32)
+    roi = (0, 0, w - 1, h - 1)
+
+    # random-ish poses looking at the grid
+    w2cs, pps, fls = [], [], []
+    for i in range(n_views):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.3 * (i - 1.5), 0.1 * i, -0.5 * i]
+        cam_i = cam.with_c2w(c2w)
+        w2cs.append(np.asarray(cam_i.w2c))
+        pps.append(np.asarray(cam_i.principal_point))
+        fls.append(np.asarray(cam_i.focal_length))
+    w2cs, pps, fls = np.stack(w2cs), np.stack(pps), np.stack(fls)
+
+    state = VoxelGridState.create(grid)
+    batched = carve_views(state, grid, w2cs, pps, fls, imgs, roi, opt)
+
+    seq = VoxelGridState.create(grid)
+    for i in range(n_views):
+        seq = carve_views(
+            seq, grid, w2cs[i], pps[i], fls[i], imgs[i], roi, opt
+        )
+    np.testing.assert_allclose(
+        np.asarray(batched.sdf), np.asarray(seq.sdf), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.update_num), np.asarray(seq.update_num)
+    )
+
+
+def test_truncation_skip_and_outside_max():
+    grid, cam, sdf_img = _setup(3)
+    sdf_img = np.clip(sdf_img, -3, 3)
+    opt = VoxelUpdateOption(
+        voxel_update=VoxelUpdate.WEIGHTED_AVERAGE,
+        update_outside=UpdateOutsideImage.MAX,
+        use_truncation=True,
+    )
+    h, w = sdf_img.shape
+    roi = (0, 0, w - 1, h - 1)
+    state = VoxelGridState.create(grid)
+    got = carve_views(
+        state, grid, cam.w2c, cam.principal_point, cam.focal_length,
+        np.asarray(sdf_img), roi, opt,
+    )
+    want_sdf, want_un = oracle_carve(
+        np.asarray(state.sdf), np.asarray(state.update_num), grid,
+        np.asarray(cam.w2c), np.asarray(cam.principal_point),
+        np.asarray(cam.focal_length), sdf_img, roi, opt,
+    )
+    np.testing.assert_allclose(np.asarray(got.sdf), want_sdf, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.update_num), want_un)
+
+
+def test_max_update_cap_freezes_voxels():
+    grid, cam, sdf_img = _setup(4)
+    opt = VoxelUpdateOption(
+        voxel_update=VoxelUpdate.WEIGHTED_AVERAGE, voxel_max_update_num=2
+    )
+    h, w = sdf_img.shape
+    roi = (0, 0, w - 1, h - 1)
+    state = VoxelGridState.create(grid)
+    for _ in range(6):
+        state = carve_views(
+            state, grid, cam.w2c, cam.principal_point, cam.focal_length,
+            np.asarray(sdf_img), roi, opt,
+        )
+    un = np.asarray(state.update_num)
+    # reference: skip when update_num > cap, so counts can reach cap + 1
+    assert un.max() <= opt.voxel_max_update_num + 1
+
+
+def test_behind_camera_skipped():
+    grid, cam, sdf_img = _setup(5)
+    # move the camera past the grid so all voxels are behind it
+    c2w = np.eye(4)
+    c2w[2, 3] = 10.0  # grid z in [0.5, 2.5]
+    cam2 = cam.with_c2w(c2w)
+    opt = VoxelUpdateOption()
+    h, w = sdf_img.shape
+    state = VoxelGridState.create(grid)
+    got = carve_views(
+        state, grid, cam2.w2c, cam2.principal_point, cam2.focal_length,
+        np.asarray(sdf_img), (0, 0, w - 1, h - 1), opt,
+    )
+    assert np.all(np.asarray(got.update_num) == 0)
+    assert np.all(np.asarray(got.sdf) == INVALID_SDF)

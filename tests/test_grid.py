@@ -1,0 +1,52 @@
+import numpy as np
+
+from vacancy_tpu.config import INVALID_SDF
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+
+
+BUNNY_BB_MIN = (-270.0, -364.586151, -149.982697)
+BUNNY_BB_MAX = (270.0, 170.542343, 277.329224)
+
+
+def test_bunny_voxel_num():
+    # examples.cc:87-101 -> 54 x 53 x 42 voxels (SURVEY section 2 #23)
+    grid = GridSpec(bb_min=BUNNY_BB_MIN, bb_max=BUNNY_BB_MAX, resolution=10.0)
+    assert grid.voxel_num == (54, 53, 42)
+    assert grid.num_voxels == 120204
+    assert grid.shape_zyx == (42, 53, 54)
+
+
+def test_center_formula():
+    # pos = diff * (i / n) + bb_min + resolution/2 (voxel_carver.cc:314-326)
+    grid = GridSpec(bb_min=(0.0, 0.0, 0.0), bb_max=(10.5, 8.0, 4.0),
+                    resolution=1.0)
+    nx, ny, nz = grid.voxel_num
+    assert (nx, ny, nz) == (10, 8, 4)
+    cx = grid.axis_centers(0)
+    # pitch along x is diff/n = 1.05, NOT the resolution
+    np.testing.assert_allclose(
+        cx, 10.5 * (np.arange(10) / 10.0) + 0.5, rtol=1e-6
+    )
+    centers = grid.centers_zyx(use_numpy=True)
+    assert centers.shape == (4, 8, 10, 3)
+    np.testing.assert_allclose(centers[0, 0, :, 0], cx, rtol=1e-6)
+    np.testing.assert_allclose(centers[0, 3, 0, 1], 8.0 * (3 / 8.0) + 0.5)
+
+
+def test_world_to_index_roundtrip():
+    grid = GridSpec(bb_min=(-5.0, -4.0, -3.0), bb_max=(7.0, 6.0, 5.0),
+                    resolution=0.25)
+    for axis in range(3):
+        c = grid.axis_centers(axis)
+        pts = np.zeros((len(c), 3), np.float32)
+        pts[:, axis] = c
+        idx = grid.world_to_index(pts)[:, axis]
+        np.testing.assert_allclose(idx, np.arange(len(c)), atol=1e-3)
+
+
+def test_state_init():
+    grid = GridSpec(bb_min=(0, 0, 0), bb_max=(4, 4, 4), resolution=1.0)
+    state = VoxelGridState.create(grid)
+    assert state.sdf.shape == (4, 4, 4)
+    assert np.all(np.asarray(state.sdf) == INVALID_SDF)
+    assert np.all(np.asarray(state.update_num) == 0)

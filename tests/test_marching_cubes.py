@@ -1,0 +1,170 @@
+"""Marching-cubes correctness: table validity, watertightness, geometry.
+
+Watertightness on random fields exercises all 256 cube cases and proves
+the (derived) edge table, the tri table, and the canonical-edge welding
+are mutually consistent -- a single wrong table entry produces boundary
+edges (edges used by != 2 triangles) on some random field.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vacancy_tpu.config import INVALID_SDF
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.marching_cubes import extract_mesh
+from vacancy_tpu.ops.mc_tables import EDGE_CORNERS, EDGE_TABLE, TRI_TABLE
+
+
+def _state_from_sdf(sdf: np.ndarray) -> VoxelGridState:
+    return VoxelGridState(
+        sdf=jnp.asarray(sdf, jnp.float32),
+        update_num=jnp.ones(sdf.shape, jnp.int32),
+    )
+
+
+def _grid_for(n: int) -> GridSpec:
+    """Cubic grid of exactly n^3 voxels, unit pitch, centered near 0."""
+    h = n / 2.0
+    return GridSpec(bb_min=(-h, -h, -h), bb_max=(h + 0.4, h + 0.4, h + 0.4),
+                    resolution=1.0)
+
+
+def _centers(grid: GridSpec) -> np.ndarray:
+    """f32[Z, Y, X, 3] voxel centers in xyz order."""
+    return grid.centers_zyx(use_numpy=True)
+
+
+def boundary_edges(faces: np.ndarray) -> int:
+    """Number of undirected edges not shared by exactly two triangles."""
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    e = np.sort(e, axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    return int(np.sum(counts != 2))
+
+
+def test_edge_table_matches_corner_bits():
+    for ci in range(256):
+        inside = [(ci >> c) & 1 for c in range(8)]
+        for e, (a, b) in enumerate(EDGE_CORNERS):
+            cut = bool(EDGE_TABLE[ci] & (1 << e))
+            assert cut == (inside[a] != inside[b])
+
+
+def test_tri_table_uses_exactly_cut_edges():
+    for ci in range(256):
+        used = set(int(e) for e in TRI_TABLE[ci] if e >= 0)
+        cut = set(e for e in range(12) if EDGE_TABLE[ci] & (1 << e))
+        assert used == cut
+
+
+def test_sphere_mesh_closed_and_sized():
+    n = 24
+    grid = _grid_for(n)
+    c = _centers(grid)
+    center = c.reshape(-1, 3).mean(axis=0)
+    r = 0.33 * n
+    sdf = np.linalg.norm(c - center, axis=-1) - r
+    mesh = extract_mesh(_state_from_sdf(sdf), grid)
+    assert mesh.num_vertices > 100
+    assert boundary_edges(mesh.faces) == 0  # watertight
+    # Euler characteristic of a sphere: V - E + F == 2
+    e = np.concatenate(
+        [mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]], mesh.faces[:, [2, 0]]]
+    )
+    n_edges = len(np.unique(np.sort(e, axis=1), axis=0))
+    assert mesh.num_vertices - n_edges + mesh.num_faces == 2
+    # radius within a voxel of truth
+    d = np.linalg.norm(mesh.vertices - center, axis=1)
+    assert np.abs(d - r).max() < 1.5 * grid.resolution
+
+
+def test_sphere_winding_outward():
+    """Face normals of an SDF (inside < 0) sphere must point outward,
+    matching the reference's reversed tri-table winding
+    (marching_cubes.cc:199-218)."""
+    n = 20
+    grid = _grid_for(n)
+    c = _centers(grid)
+    center = c.reshape(-1, 3).mean(axis=0)
+    sdf = np.linalg.norm(c - center, axis=-1) - 0.3 * n
+    mesh = extract_mesh(_state_from_sdf(sdf), grid)
+    mesh.calc_face_normal()
+    tri_centers = mesh.vertices[mesh.faces].mean(axis=1)
+    outward = tri_centers - center
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True)
+    dots = np.sum(mesh.face_normals * outward, axis=1)
+    assert np.mean(dots > 0) > 0.99
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_field_watertight(seed):
+    """Random fields hit all cube cases; fields positive on the grid
+    boundary must produce closed meshes -- validates the tri table."""
+    rng = np.random.default_rng(seed)
+    n = 14
+    grid = _grid_for(n)
+    sdf = rng.normal(size=(n, n, n)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    mesh = extract_mesh(_state_from_sdf(sdf), grid)
+    assert mesh.num_faces > 0
+    assert boundary_edges(mesh.faces) == 0
+    assert mesh.faces.min() >= 0
+    assert mesh.faces.max() < mesh.num_vertices
+
+
+def test_invalid_corner_suppresses_cube():
+    n = 6
+    grid = _grid_for(n)
+    sdf = np.full((n, n, n), 1.0, np.float32)
+    sdf[2:4, 2:4, 2:4] = -1.0
+    mesh = extract_mesh(_state_from_sdf(sdf), grid)
+    assert mesh.num_faces > 0
+
+    sdf2 = sdf.copy()
+    sdf2[3, 3, 3] = INVALID_SDF  # an invalid corner kills its 8 cubes
+    mesh2 = extract_mesh(_state_from_sdf(sdf2), grid)
+    assert mesh2.num_faces < mesh.num_faces
+
+
+def test_update_num_gates_cubes():
+    n = 6
+    grid = _grid_for(n)
+    sdf = np.full((n, n, n), 1.0, np.float32)
+    sdf[2:4, 2:4, 2:4] = -1.0
+    state_zero = VoxelGridState(
+        sdf=jnp.asarray(sdf), update_num=jnp.zeros((n, n, n), jnp.int32)
+    )
+    mesh = extract_mesh(state_zero, grid)
+    assert mesh.num_faces == 0
+
+
+def test_no_interp_vertices_on_centers():
+    n = 8
+    grid = _grid_for(n)
+    sdf = np.full((n, n, n), 1.0, np.float32)
+    sdf[3:5, 3:5, 3:5] = -1.0
+    mesh = extract_mesh(_state_from_sdf(sdf), grid, linear_interp=False)
+    for axis in range(3):
+        centers = grid.axis_centers(axis)
+        v = mesh.vertices[:, axis]
+        assert np.all(np.isin(np.round(v, 4), np.round(centers, 4)))
+
+
+def test_capacity_overflow_retry():
+    n = 16
+    grid = _grid_for(n)
+    rng = np.random.default_rng(7)
+    sdf = rng.normal(size=(n, n, n)).astype(np.float32)
+    mesh_small = extract_mesh(
+        _state_from_sdf(sdf), grid, capacity_hint=16
+    )  # forces the doubling loop
+    mesh_big = extract_mesh(_state_from_sdf(sdf), grid)
+    assert mesh_small.num_vertices == mesh_big.num_vertices
+    assert mesh_small.num_faces == mesh_big.num_faces
+    np.testing.assert_allclose(mesh_small.vertices, mesh_big.vertices)
+    np.testing.assert_array_equal(mesh_small.faces, mesh_big.faces)

@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from vacancy_tpu.config import INVALID_SDF
+from vacancy_tpu.ops.sdf2d import (
+    distance_transform_l1,
+    make_signed_distance_field,
+    signed_distance_to_color,
+)
+
+
+def brute_force_l1(mask: np.ndarray) -> np.ndarray:
+    """O(n^2) exact L1 distance from fg pixels to the nearest bg pixel."""
+    h, w = mask.shape
+    out = np.zeros((h, w), np.float32)
+    bg = np.argwhere(~mask)
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x]:
+                if len(bg):
+                    out[y, x] = np.abs(bg - [y, x]).sum(axis=1).min()
+                else:
+                    out[y, x] = np.finfo(np.float32).max
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dt_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((13, 17)) < 0.6
+    got = np.asarray(distance_transform_l1(mask))
+    want = brute_force_l1(mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dt_uint8_contract():
+    # the mask contract is pixel == 255 (voxel_carver.cc:109)
+    m = np.zeros((5, 5), np.uint8)
+    m[2, 2] = 255
+    m[1, 1] = 254  # NOT foreground
+    d = np.asarray(distance_transform_l1(m))
+    assert d[2, 2] == 1.0
+    assert d[1, 1] == 0.0
+
+
+def test_dt_all_foreground_stays_flt_max():
+    m = np.ones((4, 4), bool)
+    d = np.asarray(distance_transform_l1(m))
+    assert np.all(d == np.finfo(np.float32).max)
+
+
+def test_dt_roi():
+    m = np.ones((8, 8), bool)
+    m[4, 4] = False
+    roi = (2, 2, 6, 6)  # x_min, y_min, x_max, y_max inclusive
+    d = np.asarray(distance_transform_l1(m, roi))
+    # outside roi everything is 0
+    assert np.all(d[:2, :] == 0) and np.all(d[:, :2] == 0)
+    assert np.all(d[7:, :] == 0) and np.all(d[:, 7:] == 0)
+    # inside roi distances measured to the only bg pixel at (4,4)
+    assert d[4, 4] == 0.0
+    assert d[4, 5] == 1.0
+    assert d[6, 6] == 4.0
+
+
+def test_sdf_sign_convention():
+    # inside silhouette < 0, outside > 0 (voxel_carver.cc:174-203)
+    m = np.zeros((9, 9), np.uint8)
+    m[3:6, 3:6] = 255
+    sdf = np.asarray(make_signed_distance_field(m, minmax_normalize=False))
+    assert sdf[4, 4] == -2.0  # center of 3x3 block: 2 steps to bg
+    assert sdf[3, 3] == -1.0
+    assert sdf[0, 0] == 6.0  # |3-0| + |3-0|
+    assert sdf[4, 6] == 1.0
+
+
+def test_sdf_minmax_normalize():
+    m = np.zeros((9, 9), np.uint8)
+    m[3:6, 3:6] = 255
+    sdf = np.asarray(make_signed_distance_field(m, minmax_normalize=True))
+    # max |value| over image is 8 (corner 0,0 -> |3|+|3|=6? recompute below)
+    raw = np.asarray(make_signed_distance_field(m, minmax_normalize=False))
+    abs_max = np.abs(raw).max()
+    np.testing.assert_allclose(sdf, raw / abs_max, rtol=1e-6)
+    assert np.abs(sdf).max() == pytest.approx(1.0)
+
+
+def test_sdf_truncation():
+    m = np.zeros((9, 9), np.uint8)
+    m[2:7, 2:7] = 255
+    band = 0.5
+    norm = np.asarray(make_signed_distance_field(m, minmax_normalize=True))
+    sdf = np.asarray(
+        make_signed_distance_field(
+            m, minmax_normalize=True, use_truncation=True, truncation_band=band
+        )
+    )
+    inside_deep = norm <= -band
+    assert np.all(sdf[inside_deep] == INVALID_SDF)
+    rest = ~inside_deep
+    np.testing.assert_allclose(
+        sdf[rest], np.minimum(1.0, norm[rest] / band), rtol=1e-6
+    )
+
+
+def test_sdf_color():
+    sdf = np.array([[-1.0, 0.0], [0.5, 1.0]], np.float32)
+    img = signed_distance_to_color(sdf, -1.0, 1.0)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (0, 0, 255)  # deep inside -> blue
+    assert tuple(img[1, 1]) == (255, 0, 0)  # far outside -> red

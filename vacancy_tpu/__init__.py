@@ -1,0 +1,30 @@
+"""vacancy_tpu: a TPU-native shape-from-silhouette / TSDF-fusion engine.
+
+A from-scratch JAX/XLA/Pallas redesign of the capabilities of the
+reference C++ library `unclearness/vacancy` (voxel carving + KinectFusion-
+style truncated-SDF fusion + mesh extraction), built TPU-first:
+
+  * grid state as dense SoA arrays fused by vectorized / Pallas kernels,
+  * exact L1 distance transforms as parallel min-plus scans,
+  * gather-free marching cubes with structural vertex welding,
+  * block-sharded grids over `jax.sharding.Mesh` with one-voxel halo
+    exchange for watertight seams across devices/hosts.
+"""
+
+from .camera import OrthoCamera, PinholeCamera, stack_cameras
+from .carver import VoxelCarver
+from .config import (
+    INVALID_SDF,
+    SdfInterpolation,
+    ShardingConfig,
+    UpdateOutsideImage,
+    VoxelCarverOption,
+    VoxelUpdate,
+    VoxelUpdateOption,
+)
+from .grid import GridSpec, VoxelGridState
+from .mesh import Mesh, MeshStats, make_cube, set_random_vertex_color
+from .metrics import chamfer_distance, hausdorff_distance
+from .utils import LogLevel, Timer, set_log_level, zfill
+
+__version__ = "0.1.0"

@@ -1,0 +1,210 @@
+"""Camera models as JAX pytrees with batched project/unproject/ray APIs.
+
+Replaces the reference's virtual-dispatch ``Camera`` hierarchy
+(``include/vacancy/camera.h:17-135``): instead of a per-voxel virtual
+``Project`` call (``voxel_carver.cc:460``), projection here is a vectorized
+function over arbitrary batches of points, so a whole voxel grid is projected
+with one fused matmul + divide.
+
+Convention (reference ``camera.h:6-10``): OpenCV pinhole -- right-handed,
+z forward, y down, x right. ``c2w`` maps camera to world; ``w2c`` is the
+inverse, maintained at construction (``camera.cc:39-42``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _inverse_pose(m: np.ndarray) -> np.ndarray:
+    """Invert a rigid 4x4 pose in float64 (reference uses double poses)."""
+    m = np.asarray(m, np.float64)
+    r, t = m[:3, :3], m[:3, 3]
+    inv = np.eye(4, dtype=np.float64)
+    inv[:3, :3] = r.T
+    inv[:3, 3] = -r.T @ t
+    return inv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PinholeCamera:
+    """Pinhole camera: pixel-scale intrinsics + pose pair.
+
+    Projection (reference ``camera.cc:122-146``):
+        u = fx * x / z + cx,  v = fy * y / z + cy
+    """
+
+    # f32[..., 2] -- leading batch dims allow stacked multi-view cameras.
+    principal_point: jax.Array
+    focal_length: jax.Array
+    c2w: jax.Array  # f32[..., 4, 4]
+    w2c: jax.Array  # f32[..., 4, 4]
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(
+        width: int,
+        height: int,
+        c2w: Optional[np.ndarray] = None,
+        principal_point: Optional[np.ndarray] = None,
+        focal_length: Optional[np.ndarray] = None,
+        fov_y_deg: Optional[float] = None,
+    ) -> "PinholeCamera":
+        if c2w is None:
+            c2w = np.eye(4)
+        c2w = np.asarray(c2w, np.float64)
+        w2c = _inverse_pose(c2w)
+        if principal_point is None:
+            # reference camera.cc:54-55
+            principal_point = np.array(
+                [width * 0.5 - 0.5, height * 0.5 - 0.5], np.float32
+            )
+        if focal_length is None:
+            if fov_y_deg is None:
+                focal_length = np.array([-1.0, -1.0], np.float32)
+            else:
+                # reference camera.cc:114-120 -- same f for x and y
+                f = height * 0.5 / np.tan(np.radians(fov_y_deg) * 0.5)
+                focal_length = np.array([f, f], np.float32)
+        return PinholeCamera(
+            principal_point=jnp.asarray(principal_point, jnp.float32),
+            focal_length=jnp.asarray(focal_length, jnp.float32),
+            c2w=jnp.asarray(c2w, jnp.float32),
+            w2c=jnp.asarray(w2c, jnp.float32),
+            width=int(width),
+            height=int(height),
+        )
+
+    def with_c2w(self, c2w: np.ndarray) -> "PinholeCamera":
+        """Functional set_c2w -- recomputes the w2c inverse (camera.cc:39-42)."""
+        c2w = np.asarray(c2w, np.float64)
+        return dataclasses.replace(
+            self,
+            c2w=jnp.asarray(c2w, jnp.float32),
+            w2c=jnp.asarray(_inverse_pose(c2w), jnp.float32),
+        )
+
+    @property
+    def fov_x(self) -> jax.Array:
+        return jnp.degrees(
+            2.0 * jnp.arctan(self.width * 0.5 / self.focal_length[..., 0])
+        )
+
+    @property
+    def fov_y(self) -> jax.Array:
+        return jnp.degrees(
+            2.0 * jnp.arctan(self.height * 0.5 / self.focal_length[..., 1])
+        )
+
+    def world_to_camera(self, points_w: jax.Array) -> jax.Array:
+        """Transform world points [..., 3] into camera space."""
+        r = self.w2c[..., :3, :3]
+        t = self.w2c[..., :3, 3]
+        return points_w @ jnp.swapaxes(r, -1, -2) + t
+
+    def project(self, points_c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Camera-space points [..., 3] -> (image uv [..., 2], depth [...])."""
+        z = points_c[..., 2]
+        uv = (
+            self.focal_length / z[..., None] * points_c[..., :2]
+            + self.principal_point
+        )
+        return uv, z
+
+    def unproject(self, uv: jax.Array, depth: jax.Array) -> jax.Array:
+        """Image points + depth -> camera-space points (camera.cc:157-162)."""
+        xy = (uv - self.principal_point) * depth[..., None] / self.focal_length
+        return jnp.concatenate([xy, depth[..., None]], axis=-1)
+
+    def ray_c(self, uv: jax.Array) -> jax.Array:
+        """Normalized camera-space ray directions (camera.cc:178-183)."""
+        d = jnp.concatenate(
+            [
+                (uv - self.principal_point) / self.focal_length,
+                jnp.ones(uv.shape[:-1] + (1,), uv.dtype),
+            ],
+            axis=-1,
+        )
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def ray_w(self, uv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """World-space ray (origin, direction) per pixel (camera.cc:172-188)."""
+        d = self.ray_c(uv)
+        rot = self.c2w[..., :3, :3]
+        org = jnp.broadcast_to(self.c2w[..., :3, 3], d.shape)
+        return org, d @ jnp.swapaxes(rot, -1, -2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OrthoCamera:
+    """Orthographic camera (reference ``camera.h:114-135``).
+
+    Projection is the identity on camera-space x, y (camera.cc:196-212).
+    """
+
+    c2w: jax.Array
+    w2c: jax.Array
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(width: int, height: int, c2w: Optional[np.ndarray] = None):
+        if c2w is None:
+            c2w = np.eye(4)
+        c2w = np.asarray(c2w, np.float64)
+        return OrthoCamera(
+            c2w=jnp.asarray(c2w, jnp.float32),
+            w2c=jnp.asarray(_inverse_pose(c2w), jnp.float32),
+            width=int(width),
+            height=int(height),
+        )
+
+    def with_c2w(self, c2w: np.ndarray) -> "OrthoCamera":
+        c2w = np.asarray(c2w, np.float64)
+        return dataclasses.replace(
+            self,
+            c2w=jnp.asarray(c2w, jnp.float32),
+            w2c=jnp.asarray(_inverse_pose(c2w), jnp.float32),
+        )
+
+    def world_to_camera(self, points_w: jax.Array) -> jax.Array:
+        r = self.w2c[..., :3, :3]
+        t = self.w2c[..., :3, 3]
+        return points_w @ jnp.swapaxes(r, -1, -2) + t
+
+    def project(self, points_c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return points_c[..., :2], points_c[..., 2]
+
+    def unproject(self, uv: jax.Array, depth: jax.Array) -> jax.Array:
+        return jnp.concatenate([uv, depth[..., None]], axis=-1)
+
+    def ray_c(self, uv: jax.Array) -> jax.Array:
+        d = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+        return d.at[..., 2].set(1.0)
+
+    def ray_w(self, uv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        rot = self.c2w[..., :3, :3]
+        # per-pixel origins offset along the pose x/y axes (camera.cc:232-245)
+        off = jnp.stack(
+            [uv[..., 0] - self.width * 0.5, uv[..., 1] - self.height * 0.5],
+            axis=-1,
+        )
+        org = self.c2w[..., :3, 3] + off @ jnp.swapaxes(rot[..., :2], -1, -2)
+        d = jnp.broadcast_to(rot[..., :, 2], org.shape)
+        return org, d
+
+
+def stack_cameras(cameras) -> PinholeCamera:
+    """Stack N same-size cameras into one batched camera pytree."""
+    w, h = cameras[0].width, cameras[0].height
+    if any(c.width != w or c.height != h for c in cameras):
+        raise ValueError("all cameras must share width/height to stack")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)

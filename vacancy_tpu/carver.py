@@ -1,0 +1,160 @@
+"""VoxelCarver facade -- the user-facing engine API.
+
+Mirrors the reference ``VoxelCarver`` (``include/vacancy/voxel_carver.h:
+95-118``) with a functional JAX core underneath: the carver owns a
+``VoxelGridState`` pytree and each ``carve`` call folds one (or a batch
+of) views into it inside a single compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import PinholeCamera, stack_cameras
+from .config import VoxelCarverOption, VoxelUpdateOption
+from .grid import GridSpec, VoxelGridState
+from .mesh import Mesh
+from .ops.extract_voxel import extract_voxel_mesh
+from .ops.fusion import carve_masks, carve_views
+from .ops.marching_cubes import extract_mesh
+from .ops.sdf2d import make_signed_distance_field
+from .utils import LOGE
+
+
+class VoxelCarver:
+    def __init__(self, option: Optional[VoxelCarverOption] = None):
+        self._option = option or VoxelCarverOption()
+        self._grid: Optional[GridSpec] = None
+        self._state: Optional[VoxelGridState] = None
+
+    @property
+    def option(self) -> VoxelCarverOption:
+        return self._option
+
+    def set_option(self, option: VoxelCarverOption) -> None:
+        self._option = option
+
+    @property
+    def grid(self) -> GridSpec:
+        assert self._grid is not None, "call init() first"
+        return self._grid
+
+    @property
+    def state(self) -> VoxelGridState:
+        assert self._state is not None, "call init() first"
+        return self._state
+
+    @state.setter
+    def state(self, value: VoxelGridState) -> None:
+        self._state = value
+
+    def init(self, sharding=None) -> bool:
+        """Validate options and allocate the grid (voxel_carver.cc:375-392)."""
+        try:
+            self._option.validate()
+        except ValueError as e:
+            LOGE("%s", e)
+            return False
+        self._grid = GridSpec(
+            bb_min=tuple(self._option.bb_min),
+            bb_max=tuple(self._option.bb_max),
+            resolution=float(self._option.resolution),
+        )
+        self._state = VoxelGridState.create(self._grid, sharding=sharding)
+        return True
+
+    # ------------------------------------------------------------------
+    # carve
+    # ------------------------------------------------------------------
+
+    def carve(
+        self,
+        camera: PinholeCamera,
+        silhouette: Optional[np.ndarray] = None,
+        sdf: Optional[np.ndarray] = None,
+        roi_min: Optional[Tuple[int, int]] = None,
+        roi_max: Optional[Tuple[int, int]] = None,
+    ) -> Optional[np.ndarray]:
+        """Fuse one view. Pass either a silhouette mask (the 2D SDF is
+        computed and returned) or a precomputed SDF image.
+
+        Matches the reference Carve overloads (voxel_carver.cc:394-514).
+        """
+        if self._state is None:
+            LOGE("carve: voxel grid has not been initialized")
+            return None
+        roi = None
+        if roi_min is not None or roi_max is not None:
+            h = camera.height
+            w = camera.width
+            rmin = roi_min or (0, 0)
+            rmax = roi_max or (w - 1, h - 1)
+            roi = (int(rmin[0]), int(rmin[1]), int(rmax[0]), int(rmax[1]))
+
+        opt = self._option.update_option
+        if sdf is None:
+            assert silhouette is not None, "need a silhouette or an sdf image"
+            self._state, sdf_images = carve_masks(
+                self._state,
+                self._grid,
+                camera,
+                jnp.asarray(silhouette),
+                roi=roi,
+                opt=opt,
+                sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+            )
+            return np.asarray(sdf_images[0])
+        self._state = carve_views(
+            self._state,
+            self._grid,
+            camera.w2c,
+            camera.principal_point,
+            camera.focal_length,
+            jnp.asarray(sdf, jnp.float32),
+            roi=roi,
+            opt=opt,
+        )
+        return np.asarray(sdf)
+
+    def carve_batch(
+        self,
+        cameras: Union[PinholeCamera, Sequence[PinholeCamera]],
+        silhouettes: np.ndarray,
+    ) -> np.ndarray:
+        """Fuse a batch of views in one compiled step (the TPU-native
+        replacement for the reference's sequential multi-view Carve,
+        voxel_carver.cc:516-528). Returns the per-view SDF images."""
+        if self._state is None:
+            raise RuntimeError("carve_batch: grid not initialized")
+        camera = (
+            cameras
+            if isinstance(cameras, PinholeCamera)
+            else stack_cameras(list(cameras))
+        )
+        self._state, sdf_images = carve_masks(
+            self._state,
+            self._grid,
+            camera,
+            jnp.asarray(silhouettes),
+            opt=self._option.update_option,
+            sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+        )
+        return np.asarray(sdf_images)
+
+    # ------------------------------------------------------------------
+    # extraction
+    # ------------------------------------------------------------------
+
+    def extract_voxel(self, inside_empty: bool = False) -> Mesh:
+        return extract_voxel_mesh(self.state, self.grid, inside_empty)
+
+    def extract_iso_surface(
+        self, iso_level: float = 0.0, linear_interp: bool = True
+    ) -> Mesh:
+        return extract_mesh(
+            self.state, self.grid, iso_level=iso_level,
+            linear_interp=linear_interp,
+        )

@@ -1,0 +1,98 @@
+"""Configuration dataclasses for the TPU-native voxel-carving engine.
+
+Mirrors the reference option surface (``include/vacancy/voxel_carver.h:20-60``)
+with frozen dataclasses so configs can be used as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+import numpy as np
+
+
+class VoxelUpdate(enum.Enum):
+    """Voxel update rule (reference: voxel_carver.h:20-24)."""
+
+    MAX = 0  # take max -> naive voxel carving (intersection of cones)
+    WEIGHTED_AVERAGE = 1  # KinectFusion-style running mean; use truncation
+
+
+class SdfInterpolation(enum.Enum):
+    """2D SDF sampling mode (reference: voxel_carver.h:27-30)."""
+
+    NN = 0
+    BILINEAR = 1
+
+
+class UpdateOutsideImage(enum.Enum):
+    """Policy for voxels projecting outside the image (voxel_carver.h:33-37)."""
+
+    NONE = 0  # skip the voxel
+    MAX = 1  # fuse the per-image max SDF value
+
+
+# The reference's invalid-SDF sentinel: std::numeric_limits<float>::lowest()
+# (src/vacancy/voxel_carver.cc:100).
+INVALID_SDF = np.float32(np.finfo(np.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelUpdateOption:
+    """Per-view fusion options (reference: voxel_carver.h:43-52)."""
+
+    voxel_update: VoxelUpdate = VoxelUpdate.MAX
+    sdf_interp: SdfInterpolation = SdfInterpolation.BILINEAR
+    update_outside: UpdateOutsideImage = UpdateOutsideImage.NONE
+    # After update_num exceeds this cap, the voxel is frozen
+    # (reference semantics: skip when update_num > cap, voxel_carver.cc:447-449).
+    voxel_max_update_num: int = 255
+    voxel_update_weight: float = 1.0  # only used by WEIGHTED_AVERAGE
+    use_truncation: bool = False
+    truncation_band: float = 0.1  # must be positive
+
+    def validate(self) -> None:
+        if self.voxel_max_update_num < 1:
+            raise ValueError("voxel_max_update_num must be positive")
+        if self.voxel_update_weight <= 0.0:
+            raise ValueError("voxel_update_weight must be positive")
+        if self.truncation_band <= 0.0:
+            raise ValueError("truncation_band must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelCarverOption:
+    """Carver configuration (reference: voxel_carver.h:54-60)."""
+
+    bb_min: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    bb_max: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    resolution: float = 0.1
+    sdf_minmax_normalize: bool = True
+    update_option: VoxelUpdateOption = dataclasses.field(
+        default_factory=VoxelUpdateOption
+    )
+
+    def validate(self) -> None:
+        self.update_option.validate()
+        if self.resolution <= 0.0:
+            raise ValueError(f"resolution must be positive: {self.resolution}")
+        bb_min = np.asarray(self.bb_min, dtype=np.float64)
+        bb_max = np.asarray(self.bb_max, dtype=np.float64)
+        if np.any(bb_max <= bb_min):
+            raise ValueError("input bounding box is invalid")
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """How the voxel grid is partitioned over a device mesh.
+
+    The grid is block-partitioned along the z (slowest) axis by default;
+    fusion is embarrassingly parallel per block and marching cubes needs a
+    one-voxel halo along the sharded axis (see parallel/halo.py).
+    """
+
+    mesh_axes: Tuple[str, ...] = ("z",)
+    # Per-axis device counts; () means use all available devices on axis 0.
+    mesh_shape: Tuple[int, ...] = ()

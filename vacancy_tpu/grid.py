@@ -1,0 +1,123 @@
+"""Voxel grid: geometry spec + SoA fusion state.
+
+TPU-first redesign of the reference's AoS ``std::vector<Voxel>`` grid
+(``include/vacancy/voxel_carver.h:62-93``): instead of storing per-voxel
+index/id/pos/sdf/update_num structs, the state is two dense arrays
+
+    sdf:        f32[Z, Y, X]
+    update_num: i32[Z, Y, X]
+
+with voxel centers recomputed from indices on the fly (they are a cheap
+affine function of the index — reference ``voxel_carver.cc:314-326``).
+Array layout is [z, y, x] so the flat index equals the reference voxel id
+``z*nx*ny + y*nx + x`` (``voxel_carver.cc:333``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import INVALID_SDF
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static geometry of a voxel grid.
+
+    Parity notes (reference ``voxel_carver.cc:276-345``):
+      * ``voxel_num[i] = int(float(bb_max - bb_min)[i] / resolution)``
+        -- truncating float32 division, so the effective per-axis pitch
+        ``diff[i] / voxel_num[i]`` is >= resolution (anisotropic).
+      * voxel center = ``diff * (i / n) + bb_min + resolution / 2``
+        -- NOT ``i * resolution`` (the offset uses resolution, the pitch
+        uses diff/n).
+    """
+
+    bb_min: Tuple[float, float, float]
+    bb_max: Tuple[float, float, float]
+    resolution: float
+
+    def __post_init__(self):
+        if self.resolution <= 0.0:
+            raise ValueError(f"resolution must be positive: {self.resolution}")
+        if any(mx <= mn for mn, mx in zip(self.bb_min, self.bb_max)):
+            raise ValueError("input bounding box is invalid")
+
+    @property
+    def diff(self) -> np.ndarray:
+        return np.asarray(self.bb_max, np.float32) - np.asarray(
+            self.bb_min, np.float32
+        )
+
+    @property
+    def voxel_num(self) -> Tuple[int, int, int]:
+        """(nx, ny, nz) -- truncating f32 division like the reference."""
+        n = (self.diff / np.float32(self.resolution)).astype(np.int32)
+        return int(n[0]), int(n[1]), int(n[2])
+
+    @property
+    def shape_zyx(self) -> Tuple[int, int, int]:
+        nx, ny, nz = self.voxel_num
+        return nz, ny, nx
+
+    @property
+    def num_voxels(self) -> int:
+        nx, ny, nz = self.voxel_num
+        return nx * ny * nz
+
+    def axis_centers(self, axis: int) -> np.ndarray:
+        """Voxel-center coordinates along one axis (0=x, 1=y, 2=z), f32."""
+        n = self.voxel_num[axis]
+        i = np.arange(n, dtype=np.float32)
+        diff = self.diff[axis]
+        offset = np.float32(self.resolution) * np.float32(0.5)
+        return (
+            diff * (i / np.float32(n)) + np.float32(self.bb_min[axis]) + offset
+        ).astype(np.float32)
+
+    def centers_zyx(self, use_numpy: bool = False):
+        """Voxel centers as f32[Z, Y, X, 3] (xyz in the last axis)."""
+        xp = np if use_numpy else jnp
+        cx = xp.asarray(self.axis_centers(0))
+        cy = xp.asarray(self.axis_centers(1))
+        cz = xp.asarray(self.axis_centers(2))
+        zz, yy, xx = xp.meshgrid(cz, cy, cx, indexing="ij")
+        return xp.stack([xx, yy, zz], axis=-1)
+
+    def world_to_index(self, points: np.ndarray) -> np.ndarray:
+        """Continuous voxel index of world points (inverse of axis_centers)."""
+        points = np.asarray(points, np.float32)
+        n = np.asarray(self.voxel_num, np.float32)
+        diff = self.diff
+        offset = np.float32(self.resolution) * np.float32(0.5)
+        return (points - np.asarray(self.bb_min, np.float32) - offset) * n / diff
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VoxelGridState:
+    """The complete fusion state: per-voxel running SDF and update count."""
+
+    sdf: jax.Array  # f32[Z, Y, X]
+    update_num: jax.Array  # i32[Z, Y, X]
+
+    @staticmethod
+    def create(grid: GridSpec, sharding=None) -> "VoxelGridState":
+        shape = grid.shape_zyx
+        if grid.num_voxels > np.iinfo(np.int32).max:
+            raise ValueError("too many voxels")  # voxel_carver.cc:298-302
+
+        def _init():
+            return VoxelGridState(
+                sdf=jnp.full(shape, INVALID_SDF, jnp.float32),
+                update_num=jnp.zeros(shape, jnp.int32),
+            )
+
+        if sharding is not None:
+            _init = jax.jit(_init, out_shardings=sharding)
+        return _init()

@@ -1,0 +1,209 @@
+"""PLY / OBJ mesh I/O (reference: src/vacancy/mesh.cc:330-726).
+
+Pure-numpy implementations with an optional C++ fast path (native/) for
+large meshes. ASCII PLY output matches the reference's header layout
+(mesh.cc:596-610) so artifacts are drop-in comparable; binary little-endian
+PLY is additionally supported for speed at scale.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..mesh import Mesh
+
+
+def write_ply(path: str, mesh: "Mesh", binary: bool = False) -> None:
+    from .native import native_write_ply
+
+    has_color = mesh.vertex_colors is not None
+    if native_write_ply(path, mesh, binary=binary):
+        return
+    v = np.ascontiguousarray(mesh.vertices, np.float32)
+    f = np.ascontiguousarray(mesh.faces, np.int32)
+
+    header = ["ply"]
+    header.append(
+        "format binary_little_endian 1.0" if binary else "format ascii 1.0"
+    )
+    header.append(f"element vertex {len(v)}")
+    header += ["property float x", "property float y", "property float z"]
+    if has_color:
+        header += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+            "property uchar alpha",
+        ]
+    header.append(f"element face {len(f)}")
+    header.append("property list uchar int vertex_indices")
+    header.append("end_header")
+
+    if binary:
+        with open(path, "wb") as fp:
+            fp.write(("\n".join(header) + "\n").encode("ascii"))
+            if has_color:
+                c = np.clip(
+                    np.round(mesh.vertex_colors), 0, 255
+                ).astype(np.uint8)
+                rec = np.zeros(
+                    len(v),
+                    dtype=[("xyz", "<f4", 3), ("rgba", "u1", 4)],
+                )
+                rec["xyz"] = v
+                rec["rgba"][:, :3] = c
+                rec["rgba"][:, 3] = 255
+                fp.write(rec.tobytes())
+            else:
+                fp.write(v.astype("<f4").tobytes())
+            frec = np.zeros(len(f), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+            frec["n"] = 3
+            frec["idx"] = f
+            fp.write(frec.tobytes())
+        return
+
+    # ASCII: vectorized row formatting (reference writes "%g"-style floats
+    # via operator<<; np.format_float_positional differs slightly in digits
+    # but parses identically).
+    with open(path, "w") as fp:
+        fp.write("\n".join(header) + "\n")
+        if has_color:
+            c = np.round(mesh.vertex_colors).astype(np.int32)
+            rows = [
+                f"{x:g} {y:g} {z:g} {r:d} {g:d} {b:d} 255 "
+                for (x, y, z), (r, g, b) in zip(v.tolist(), c.tolist())
+            ]
+        else:
+            rows = [f"{x:g} {y:g} {z:g} " for x, y, z in v.tolist()]
+        fp.write("\n".join(rows))
+        if rows:
+            fp.write("\n")
+        frows = [f"3 {a:d} {b:d} {c:d} " for a, b, c in f.tolist()]
+        fp.write("\n".join(frows))
+        if frows:
+            fp.write("\n")
+
+
+def load_ply(path: str) -> "Mesh":
+    """Load ascii or binary_little_endian PLY (x/y/z + face list).
+
+    Extends the reference loader (mesh.cc:475-581, ascii only) with binary
+    support; extra vertex properties are skipped.
+    """
+    from ..mesh import Mesh
+    from .native import native_load_ply
+
+    native = native_load_ply(path)
+    if native is not None:
+        return native
+
+    with open(path, "rb") as fp:
+        if fp.readline().strip() != b"ply":
+            raise ValueError(f"not a ply file: {path}")
+        fmt = fp.readline().strip()
+        if b"ascii" in fmt:
+            binary = False
+        elif b"binary_little_endian" in fmt:
+            binary = True
+        else:
+            raise ValueError(f"unsupported ply format: {fmt!r}")
+
+        n_vert = n_face = 0
+        vert_props = []
+        cur_element = None
+        while True:
+            line = fp.readline()
+            if not line:
+                raise ValueError("unexpected EOF in ply header")
+            tok = line.strip().split()
+            if not tok:
+                continue
+            if tok[0] == b"element":
+                cur_element = tok[1]
+                if tok[1] == b"vertex":
+                    n_vert = int(tok[2])
+                elif tok[1] == b"face":
+                    n_face = int(tok[2])
+            elif tok[0] == b"property" and cur_element == b"vertex":
+                vert_props.append((tok[1].decode(), tok[-1].decode()))
+            elif tok[0] == b"end_header":
+                break
+
+        type_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+            "uint": "<u4", "uint32": "<u4",
+        }
+        if binary:
+            dt = np.dtype([(n, type_map[t]) for t, n in vert_props])
+            raw = np.frombuffer(fp.read(dt.itemsize * n_vert), dtype=dt)
+            verts = np.stack(
+                [raw["x"], raw["y"], raw["z"]], axis=-1
+            ).astype(np.float32)
+            frec = np.frombuffer(
+                fp.read((1 + 12) * n_face),
+                dtype=[("n", "u1"), ("idx", "<i4", 3)],
+            )
+            faces = frec["idx"].astype(np.int32)
+        else:
+            data = fp.read().split(b"\n")
+            vrows = data[:n_vert]
+            vals = np.loadtxt(
+                [r for r in vrows], dtype=np.float32, ndmin=2
+            )
+            verts = vals[:, :3].astype(np.float32)
+            frows = data[n_vert : n_vert + n_face]
+            fvals = np.loadtxt([r for r in frows], dtype=np.int64, ndmin=2)
+            if fvals.size and np.any(fvals[:, 0] != 3):
+                raise ValueError("only triangle ply faces are supported")
+            faces = fvals[:, 1:4].astype(np.int32)
+
+    mesh = Mesh(vertices=verts, faces=faces)
+    mesh.calc_normal()
+    return mesh
+
+
+def write_obj(path: str, mesh: "Mesh") -> None:
+    """Write OBJ (reference mesh.cc:634-726, minus MTL/texture)."""
+    v = mesh.vertices
+    f = mesh.faces + 1  # OBJ is 1-indexed
+    lines = [f"v {x:g} {y:g} {z:g}" for x, y, z in v.tolist()]
+    if mesh.normals is not None:
+        lines += [f"vn {x:g} {y:g} {z:g}" for x, y, z in mesh.normals.tolist()]
+        lines += [
+            f"f {a}//{a} {b}//{b} {c}//{c}" for a, b, c in f.tolist()
+        ]
+    else:
+        lines += [f"f {a} {b} {c}" for a, b, c in f.tolist()]
+    with open(path, "w") as fp:
+        fp.write("\n".join(lines) + "\n")
+
+
+def load_obj(path: str) -> "Mesh":
+    """Minimal OBJ reader: v / f records (reference gates its reader behind
+    tinyobjloader, mesh.cc:330-473)."""
+    from ..mesh import Mesh
+
+    verts, faces = [], []
+    with open(path) as fp:
+        for line in fp:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "f":
+                idx = [int(t.split("/")[0]) - 1 for t in tok[1:]]
+                for i in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    mesh = Mesh(
+        vertices=np.asarray(verts, np.float32).reshape(-1, 3),
+        faces=np.asarray(faces, np.int32).reshape(-1, 3),
+    )
+    mesh.calc_normal()
+    return mesh

@@ -1,0 +1,118 @@
+"""ctypes bindings to the optional C++ native library (native/libvacancy_native.so).
+
+The native library accelerates host-side hot paths at large scale: PLY
+write/read and vertex welding. All entry points degrade gracefully to the
+numpy implementations when the library is absent -- functions here return
+None/False to signal "not handled".
+
+Build: ``make -C native`` (see native/Makefile).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for cand in (
+        os.environ.get("VACANCY_NATIVE_LIB"),
+        os.path.join(root, "native", "libvacancy_native.so"),
+    ):
+        if cand and os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.vacancy_write_ply.restype = ctypes.c_int
+                lib.vacancy_write_ply.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),  # colors or NULL
+                    ctypes.c_int,  # binary flag
+                ]
+                lib.vacancy_weld_vertices.restype = ctypes.c_int64
+                lib.vacancy_weld_vertices.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def native_write_ply(path: str, mesh, binary: bool = False) -> bool:
+    """Returns True if the native writer handled the file."""
+    lib = _load()
+    if lib is None:
+        return False
+    v = np.ascontiguousarray(mesh.vertices, np.float32)
+    f = np.ascontiguousarray(mesh.faces, np.int32)
+    if mesh.vertex_colors is not None:
+        c = np.ascontiguousarray(
+            np.clip(np.round(mesh.vertex_colors), 0, 255), np.uint8
+        )
+        cptr = c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    else:
+        cptr = None
+    ret = lib.vacancy_write_ply(
+        path.encode(),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(f),
+        cptr,
+        1 if binary else 0,
+    )
+    return ret == 0
+
+
+def native_load_ply(path: str):
+    """Native PLY reader hook (not yet implemented natively)."""
+    return None
+
+
+def native_weld(vertices: np.ndarray, faces: np.ndarray) -> Optional[tuple]:
+    """Hash-weld exactly-equal vertices natively. Returns (verts, faces)."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32).copy()
+    remap = np.empty(len(v), np.int32)
+    n_out = lib.vacancy_weld_vertices(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(f),
+        remap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n_out < 0:
+        return None
+    keep = np.zeros(len(v), bool)
+    first_idx = np.full(int(n_out), -1, np.int64)
+    for i, r in enumerate(remap):  # pragma: no cover - replaced natively
+        if first_idx[r] < 0:
+            first_idx[r] = i
+    return v[first_idx], remap[f]

@@ -1,0 +1,83 @@
+"""Voxel-face mesh extraction (cube per occupied voxel).
+
+Reference: ``src/vacancy/extract_voxel.cc:258-317``. The keep mask and
+surface-flag detection run on device as dense boolean ops; cube instancing
+(24 verts / 12 faces per kept voxel) is vectorized numpy on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import GridSpec, VoxelGridState
+from ..mesh import Mesh, make_cube
+
+
+@partial(jax.jit, static_argnames=())
+def surface_flags(state: VoxelGridState) -> jax.Array:
+    """Axis-sweep sign-change surface detection.
+
+    Reference ``UpdateOnSurface`` (extract_voxel.cc:15-79): for each axis,
+    a voxel (at the higher index of the pair) is flagged when it and its
+    -axis neighbor are both updated and their sdf signs differ; voxels
+    with |sdf| < FLT_MIN are also flagged.
+    """
+    sdf = state.sdf
+    un = state.update_num
+    tiny = np.finfo(np.float32).tiny
+    flag = jnp.zeros(sdf.shape, jnp.bool_)
+
+    for axis in range(3):  # array axes: 0=z, 1=y, 2=x
+        cur = [slice(None)] * 3
+        prev = [slice(None)] * 3
+        cur[axis] = slice(1, None)
+        prev[axis] = slice(None, -1)
+        cur, prev = tuple(cur), tuple(prev)
+        both = (un[cur] >= 1) & (un[prev] >= 1)
+        change = (sdf[cur] * sdf[prev] < 0) | (jnp.abs(sdf[cur]) < tiny)
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 0)
+        flag |= jnp.pad(both & change, pad)
+    return flag
+
+
+@jax.jit
+def occupancy_mask(state: VoxelGridState) -> jax.Array:
+    """Keep rule: sdf <= 0 and update_num >= 1 (extract_voxel.cc:285-288)."""
+    return (state.sdf <= 0) & (state.update_num >= 1)
+
+
+def extract_voxel_mesh(
+    state: VoxelGridState, grid: GridSpec, inside_empty: bool = False
+) -> Mesh:
+    """Emit a translated cube per kept voxel (extract_voxel.cc:258-317)."""
+    if inside_empty:
+        keep = np.asarray(surface_flags(state))
+    else:
+        keep = np.asarray(occupancy_mask(state))
+
+    zz, yy, xx = np.nonzero(keep)
+    n = len(zz)
+    cube = make_cube(float(grid.resolution))
+    if n == 0:
+        return Mesh()
+
+    centers = np.stack(
+        [
+            grid.axis_centers(0)[xx],
+            grid.axis_centers(1)[yy],
+            grid.axis_centers(2)[zz],
+        ],
+        axis=-1,
+    )  # [n, 3] in xyz
+
+    verts = (cube.vertices[None, :, :] + centers[:, None, :]).reshape(-1, 3)
+    offsets = (np.arange(n, dtype=np.int64) * 24)[:, None, None]
+    faces = (cube.faces[None, :, :] + offsets).reshape(-1, 3)
+    if faces.size and faces.max() > np.iinfo(np.int32).max:
+        raise ValueError("voxel mesh exceeds int32 indexing")
+    return Mesh(vertices=verts.astype(np.float32), faces=faces.astype(np.int32))

@@ -1,0 +1,260 @@
+"""Voxel fusion (carving) -- the per-view hot path, fully vectorized.
+
+TPU-first redesign of the reference hot loop (``src/vacancy/voxel_carver.cc:
+442-491``): the reference walks every voxel with a per-voxel virtual
+``camera.Project`` call and a ``std::function`` SDF interpolation, OpenMP-
+parallel over z slices. Here the whole grid is processed as dense arrays:
+
+  1. voxel centers (recomputed from indices) -> one batched affine
+     transform into camera space,
+  2. vectorized pinhole projection + divide,
+  3. vectorized NN/bilinear gather from the 2D SDF image,
+  4. masked update (max-carving or running mean) with first-touch / cap
+     semantics identical to the reference (voxel_carver.cc:78-95,447-488).
+
+Multiple views are folded *inside* one jit region (``lax.fori_loop`` over a
+stacked view batch), so the grid state is read and written once per batch
+instead of once per view -- the key HBM-bandwidth win over the reference's
+sequential per-view loop (voxel_carver.cc:516-528). The in-kernel view loop
+is still sequential, so order-dependent semantics (update_num cap,
+first-touch) match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    INVALID_SDF,
+    SdfInterpolation,
+    UpdateOutsideImage,
+    VoxelUpdate,
+    VoxelUpdateOption,
+)
+from ..grid import GridSpec, VoxelGridState
+
+
+def sample_sdf_nn(
+    sdf_img: jax.Array, u: jax.Array, v: jax.Array, roi: Tuple[int, int, int, int]
+) -> jax.Array:
+    """Nearest-neighbor SDF sampling with round + clamp to the ROI.
+
+    Reference: ``SdfInterpolationNn`` (voxel_carver.cc:16-38). C++ uses
+    std::round (round-half-away-from-zero); coordinates here are >= 0 in
+    all reachable cases so floor(x + 0.5) matches.
+    """
+    x0, y0, x1, y1 = roi
+    xi = jnp.clip(jnp.floor(u + 0.5).astype(jnp.int32), x0, x1)
+    yi = jnp.clip(jnp.floor(v + 0.5).astype(jnp.int32), y0, y1)
+    return sdf_img[yi, xi]
+
+
+def sample_sdf_bilinear(
+    sdf_img: jax.Array, u: jax.Array, v: jax.Array, roi: Tuple[int, int, int, int]
+) -> jax.Array:
+    """Bilinear SDF sampling, clamp-to-ROI on the +1 taps.
+
+    Reference: ``SdfInterpolationBiliner`` (voxel_carver.cc:40-76): the
+    floor tap is clamped to roi_min, the +1 tap to roi_max, and the blend
+    weights use the (clamped) floor -- for in-image points this equals
+    clamp-to-edge bilinear with weights from the unclamped floor.
+    """
+    x0, y0, x1, y1 = roi
+    uf = jnp.floor(u)
+    vf = jnp.floor(v)
+    ix0 = jnp.maximum(uf.astype(jnp.int32), x0)
+    iy0 = jnp.maximum(vf.astype(jnp.int32), y0)
+    ix1 = jnp.minimum(ix0 + 1, x1)
+    iy1 = jnp.minimum(iy0 + 1, y1)
+    lu = u - ix0
+    lv = v - iy0
+    d00 = sdf_img[iy0, ix0]
+    d10 = sdf_img[iy0, ix1]
+    d01 = sdf_img[iy1, ix0]
+    d11 = sdf_img[iy1, ix1]
+    return (
+        (1.0 - lu) * (1.0 - lv) * d00
+        + lu * (1.0 - lv) * d10
+        + (1.0 - lu) * lv * d01
+        + lu * lv * d11
+    )
+
+
+def _carve_one_view(
+    sdf: jax.Array,
+    update_num: jax.Array,
+    pos_w: jax.Array,  # f32[..., 3] voxel centers (world)
+    w2c: jax.Array,  # f32[4, 4]
+    principal_point: jax.Array,  # f32[2]
+    focal_length: jax.Array,  # f32[2]
+    sdf_img: jax.Array,  # f32[H, W]
+    max_sdf: jax.Array,  # f32[] per-image max (for the MAX outside policy)
+    roi: Tuple[int, int, int, int],
+    opt: VoxelUpdateOption,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply one view's update to (sdf, update_num). Pure; shapes preserved."""
+    x0, y0, x1, y1 = roi
+
+    # world -> camera (reference voxel_carver.cc:453)
+    pc = pos_w @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[..., 2]
+    # pinhole projection (camera.cc:131-137)
+    u = focal_length[0] / z * pc[..., 0] + principal_point[0]
+    v = focal_length[1] / z * pc[..., 1] + principal_point[1]
+
+    # skip voxels behind the camera (voxel_carver.cc:456-458); z == 0
+    # produces non-finite uv which we also skip (the reference's behavior
+    # there is undefined float->int casting).
+    behind = z < 0
+    bad_uv = ~(jnp.isfinite(u) & jnp.isfinite(v))
+
+    outside_img = (u < x0) | (v < y0) | (u > x1) | (v > y1)
+
+    if opt.sdf_interp == SdfInterpolation.NN:
+        dist_in = sample_sdf_nn(sdf_img, u, v, roi)
+    elif opt.sdf_interp == SdfInterpolation.BILINEAR:
+        # Guard the gather indices against non-finite uv (clamped anyway,
+        # but NaN -> int cast is unspecified); value is masked out below.
+        dist_in = sample_sdf_bilinear(
+            sdf_img,
+            jnp.where(bad_uv, jnp.float32(x0), u),
+            jnp.where(bad_uv, jnp.float32(y0), v),
+            roi,
+        )
+    else:
+        raise ValueError(f"unknown interpolation {opt.sdf_interp}")
+
+    if opt.update_outside == UpdateOutsideImage.NONE:
+        dist = dist_in
+        skip_outside = outside_img
+    elif opt.update_outside == UpdateOutsideImage.MAX:
+        dist = jnp.where(outside_img, max_sdf, dist_in)
+        skip_outside = jnp.zeros_like(outside_img)
+    else:
+        raise ValueError(f"unknown outside policy {opt.update_outside}")
+
+    skip = behind | bad_uv | skip_outside
+    # frozen voxels: update_num > cap (voxel_carver.cc:447-449)
+    skip = skip | (update_num > opt.voxel_max_update_num)
+    if opt.use_truncation:
+        # skip truncated samples (voxel_carver.cc:477-480)
+        skip = skip | (dist < -1.0)
+
+    first_touch = update_num < 1
+    if opt.voxel_update == VoxelUpdate.MAX:
+        # kMax: sdf = max(sdf, d); update_num++ only on improvement
+        # (voxel_carver.cc:78-86); first touch always writes (.:482-486).
+        improved = dist > sdf
+        new_sdf = jnp.where(first_touch, dist, jnp.maximum(sdf, dist))
+        new_un = update_num + (first_touch | improved).astype(jnp.int32)
+    elif opt.voxel_update == VoxelUpdate.WEIGHTED_AVERAGE:
+        # kWeightedAverage: running mean -- the weight w cancels
+        # algebraically (voxel_carver.cc:88-95) but we keep the exact
+        # float expression for bit-parity.
+        w = jnp.float32(opt.voxel_update_weight)
+        n = update_num.astype(jnp.float32)
+        inv_denom = 1.0 / (w * (n + 1.0))
+        avg = (w * n * sdf + w * dist) * inv_denom
+        new_sdf = jnp.where(first_touch, dist, avg)
+        new_un = update_num + 1
+    else:
+        raise ValueError(f"unknown update rule {opt.voxel_update}")
+
+    out_sdf = jnp.where(skip, sdf, new_sdf)
+    out_un = jnp.where(skip, update_num, new_un)
+    return out_sdf, out_un
+
+
+@partial(jax.jit, static_argnames=("grid", "roi", "opt"))
+def carve_views(
+    state: VoxelGridState,
+    grid: GridSpec,
+    w2c: jax.Array,  # f32[V, 4, 4] or f32[4, 4]
+    principal_point: jax.Array,  # f32[V, 2] or f32[2]
+    focal_length: jax.Array,  # f32[V, 2] or f32[2]
+    sdf_images: jax.Array,  # f32[V, H, W] or f32[H, W]
+    roi: Optional[Tuple[int, int, int, int]] = None,
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+) -> VoxelGridState:
+    """Fuse a batch of views into the grid state (the reference's Carve).
+
+    Views are applied sequentially inside one compiled region, matching the
+    reference's view loop semantics exactly while reading/writing the grid
+    once. Accepts a single view (unbatched args) or a stacked batch.
+    """
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        principal_point = principal_point[None]
+        focal_length = focal_length[None]
+        sdf_images = sdf_images[None]
+    v_count, h, w = sdf_images.shape
+    if roi is None:
+        roi = (0, 0, w - 1, h - 1)
+
+    pos_w = grid.centers_zyx()
+    # per-image max over the *whole* image (voxel_carver.cc:436)
+    max_sdfs = jnp.max(sdf_images, axis=(1, 2))
+
+    def body(i, carry):
+        sdf, un = carry
+        return _carve_one_view(
+            sdf,
+            un,
+            pos_w,
+            w2c[i],
+            principal_point[i],
+            focal_length[i],
+            sdf_images[i],
+            max_sdfs[i],
+            roi,
+            opt,
+        )
+
+    sdf, un = jax.lax.fori_loop(
+        0, v_count, body, (state.sdf, state.update_num)
+    )
+    return VoxelGridState(sdf=sdf, update_num=un)
+
+
+def carve_masks(
+    state: VoxelGridState,
+    grid: GridSpec,
+    camera,  # batched or single PinholeCamera
+    masks: jax.Array,  # [V, H, W] or [H, W] uint8/bool silhouettes
+    roi: Optional[Tuple[int, int, int, int]] = None,
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+    sdf_minmax_normalize: bool = True,
+):
+    """mask -> 2D SDF -> fuse, the reference's full Carve overload
+    (voxel_carver.cc:394-413). Returns (new_state, sdf_images)."""
+    from .sdf2d import make_signed_distance_field
+
+    masks = jnp.asarray(masks)
+    single = masks.ndim == 2
+    if single:
+        masks = masks[None]
+    sdf_images = jax.vmap(
+        lambda m: make_signed_distance_field(
+            m,
+            roi,
+            minmax_normalize=sdf_minmax_normalize,
+            use_truncation=opt.use_truncation,
+            truncation_band=opt.truncation_band,
+        )
+    )(masks)
+    w2c = camera.w2c
+    pp = camera.principal_point
+    fl = camera.focal_length
+    if single:
+        sdf_b = sdf_images[0]
+        if w2c.ndim == 3:
+            w2c, pp, fl = w2c[0], pp[0], fl[0]
+    else:
+        sdf_b = sdf_images
+    new_state = carve_views(state, grid, w2c, pp, fl, sdf_b, roi, opt)
+    return new_state, sdf_images

@@ -1,0 +1,287 @@
+"""Marching cubes on TPU -- dense, gather-free, structurally welded.
+
+TPU-first redesign of the reference's serial implementation
+(``src/vacancy/marching_cubes.cc:63-228``). The reference walks cubes one
+by one, deduplicating shared vertices through a global insertion-ordered
+``std::map<pair<voxelid, voxelid>, int>`` -- inherently sequential. Here
+dedup is *structural*: every marching-cubes vertex lies on a unique
+**canonical grid edge** ``(axis, owner_voxel)`` (the edge from a voxel
+center to its +axis neighbor), so
+
+  1. per canonical edge, compute a "has vertex" flag + interpolated
+     position (dense VPU-parallel math, no hash map),
+  2. assign global vertex ids by a cumulative sum over the flags
+     (deterministic, independent of traversal or sharding),
+  3. per cube, emit triangles whose vertex ids are read from 12
+     *statically shifted* views of the id volume (no gather), with the
+     per-case edge list from the tri table,
+  4. compact vertices/triangles into fixed-capacity buffers with a
+     scatter (device) and trim on host.
+
+The emitted mesh is welded by construction and bit-deterministic across
+shardings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INVALID_SDF
+from ..grid import GridSpec, VoxelGridState
+from ..mesh import Mesh
+from .mc_tables import (
+    CORNER_OFFSETS,
+    EDGE_AXIS,
+    EDGE_OWNER,
+    TRI_TABLE,
+)
+
+_SNAP_EPS = 1e-5  # reference marching_cubes.cc:28-39
+
+
+def _corner_view(vol: jax.Array, c: int) -> jax.Array:
+    """View of `vol` at cube-corner c over the cube lattice [Z-1,Y-1,X-1].
+
+    Cube (i,j,k) has its base (lowest) corner at voxel (i,j,k); corner c
+    sits at voxel (i+dz, j+dy, k+dx)."""
+    dx, dy, dz = (int(v) for v in CORNER_OFFSETS[c])
+    nz, ny, nx = vol.shape
+    return vol[dz : dz + nz - 1, dy : dy + ny - 1, dx : dx + nx - 1]
+
+
+def _edge_vertex_interp(
+    s0: jax.Array,
+    s1: jax.Array,
+    p0: jax.Array,
+    p1: jax.Array,
+    iso: float,
+    linear_interp: bool,
+) -> jax.Array:
+    """1D vertex interpolation along a grid edge with the reference's
+    epsilon snapping (marching_cubes.cc:25-57). Positions differ only in
+    the edge-axis coordinate, so only that scalar is interpolated."""
+    if not linear_interp:
+        return p0
+    iso = jnp.float32(iso)
+    denom = s1 - s0
+    mu = jnp.where(jnp.abs(denom) < _SNAP_EPS, 0.0, (iso - s0) / denom)
+    t = jnp.where(jnp.abs(iso - s0) < _SNAP_EPS, 0.0, mu)
+    t = jnp.where(jnp.abs(iso - s1) < _SNAP_EPS, 1.0, t)
+    return p0 + t * (p1 - p0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid",
+        "iso_level",
+        "linear_interp",
+        "vertex_capacity",
+        "face_capacity",
+    ),
+)
+def marching_cubes_dense(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    vertex_capacity: int = 1 << 18,
+    face_capacity: int = 1 << 19,
+):
+    """Run marching cubes over the full grid on device.
+
+    Returns (vertices f32[vertex_capacity, 3], n_vertices i32,
+    faces i32[face_capacity, 3], n_faces i32). Entries past the counts are
+    zero. If a count exceeds its capacity the caller must re-run with a
+    larger capacity (see `extract_mesh`).
+    """
+    sdf = state.sdf
+    un = state.update_num
+    nz, ny, nx = sdf.shape
+    cz, cy, cx = nz - 1, ny - 1, nx - 1  # cube lattice
+
+    # --- cube validity (marching_cubes.cc:88-112) ---
+    corner_sdf = [_corner_view(sdf, c) for c in range(8)]
+    all_valid = corner_sdf[0] != INVALID_SDF
+    for c in range(1, 8):
+        all_valid &= corner_sdf[c] != INVALID_SDF
+    center_updated = _corner_view(un, 6) >= 1  # corner 6 == reference center
+    cube_valid = all_valid & center_updated
+
+    # --- case index (marching_cubes.cc:121-128) ---
+    case = jnp.zeros((cz, cy, cx), jnp.int32)
+    for c in range(8):
+        case |= (corner_sdf[c] < iso_level).astype(jnp.int32) << c
+
+    # --- canonical edge flags + positions ---
+    # axis order here: 0=x, 1=y, 2=z; owner voxel at (z, y, x).
+    centers = [
+        jnp.asarray(grid.axis_centers(a)) for a in range(3)
+    ]  # cx_, cy_, cz_
+
+    def axis_edges(axis: int):
+        """straddle flag, interpolated position [3], per owner voxel.
+
+        Shapes are the full voxel lattice with the last slice along `axis`
+        unused (flag False there)."""
+        if axis == 0:
+            s0, s1 = sdf[:, :, :-1], sdf[:, :, 1:]
+            pad = ((0, 0), (0, 0), (0, 1))
+        elif axis == 1:
+            s0, s1 = sdf[:, :-1, :], sdf[:, 1:, :]
+            pad = ((0, 0), (0, 1), (0, 0))
+        else:
+            s0, s1 = sdf[:-1, :, :], sdf[1:, :, :]
+            pad = ((0, 1), (0, 0), (0, 0))
+        straddle = (s0 < iso_level) != (s1 < iso_level)
+
+        c_axis = centers[axis]
+        shape = [1, 1, 1]
+        dim = {0: 2, 1: 1, 2: 0}[axis]  # array dim of this axis
+        shape[dim] = s0.shape[dim]
+        p0 = c_axis[:-1].reshape(shape)
+        p1 = c_axis[1:].reshape(shape)
+        pvar = _edge_vertex_interp(s0, s1, p0, p1, iso_level, linear_interp)
+        pvar = jnp.broadcast_to(pvar, s0.shape)
+
+        straddle = jnp.pad(straddle, pad)
+        pvar = jnp.pad(pvar, pad)
+        return straddle, pvar
+
+    straddles, pvars = zip(*(axis_edges(a) for a in range(3)))
+
+    # an edge gets a vertex iff it straddles AND >= 1 adjacent cube is valid
+    cube_valid_pad = jnp.pad(cube_valid, ((1, 1), (1, 1), (1, 1)))
+
+    def adjacent_valid(axis: int) -> jax.Array:
+        """OR of cube_valid over the (up to) 4 cubes sharing each edge.
+
+        For an x-edge at owner voxel (z, y, x): cubes with base corner
+        (z-1..z, y-1..y, x) -> in padded cube coords, a 2x2 max-pool over
+        the two non-edge axes."""
+        out = jnp.zeros((nz, ny, nx), jnp.bool_)
+        shifts = [(0, 0), (0, 1), (1, 0), (1, 1)]
+        for a_, b_ in shifts:
+            if axis == 0:  # vary (z, y), cube x-base == owner x
+                blk = cube_valid_pad[a_ : a_ + nz, b_ : b_ + ny, 1 : 1 + nx]
+            elif axis == 1:  # vary (z, x)
+                blk = cube_valid_pad[a_ : a_ + nz, 1 : 1 + ny, b_ : b_ + nx]
+            else:  # vary (y, x)
+                blk = cube_valid_pad[1 : 1 + nz, a_ : a_ + ny, b_ : b_ + nx]
+            out |= blk
+        return out
+
+    vflags = []
+    vpos = []
+    for a in range(3):
+        flag = straddles[a] & adjacent_valid(a)
+        vflags.append(flag)
+        # full 3D position: the two fixed coords come from the owner voxel
+        px = jnp.broadcast_to(
+            centers[0].reshape(1, 1, nx), (nz, ny, nx)
+        )
+        py = jnp.broadcast_to(centers[1].reshape(1, ny, 1), (nz, ny, nx))
+        pz = jnp.broadcast_to(centers[2].reshape(nz, 1, 1), (nz, ny, nx))
+        coords = [px, py, pz]
+        coords[a] = pvars[a]
+        vpos.append(jnp.stack(coords, axis=-1))
+
+    flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
+    pos_flat = jnp.concatenate([p.reshape(-1, 3) for p in vpos])
+
+    # --- global vertex ids: cumsum over (axis, z, y, x) order ---
+    vid_flat = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
+    n_vertices = jnp.sum(flags_flat.astype(jnp.int32))
+
+    # scatter-compact vertices
+    scatter_idx = jnp.where(flags_flat, vid_flat, vertex_capacity)
+    vertices = (
+        jnp.zeros((vertex_capacity, 3), jnp.float32)
+        .at[scatter_idx]
+        .set(pos_flat, mode="drop")
+    )
+
+    vid = vid_flat.reshape(3, nz, ny, nx)
+
+    # --- per-cube triangle emission via statically shifted id views ---
+    edge_vids = []
+    for e in range(12):
+        a = int(EDGE_AXIS[e])
+        ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
+        edge_vids.append(
+            vid[a][oz : oz + cz, oy : oy + cy, ox : ox + cx]
+        )
+    edge_vids = jnp.stack(edge_vids, axis=-1)  # [cz, cy, cx, 12]
+
+    tri_tab = jnp.asarray(TRI_TABLE)  # [256, 16]
+    te = tri_tab[case]  # [cz, cy, cx, 16] -- small-table gather
+    te = te[..., :15].reshape(cz, cy, cx, 5, 3)
+    tri_edge_valid = te[..., 0] >= 0  # [cz, cy, cx, 5]
+    tri_valid = tri_edge_valid & cube_valid[..., None]
+
+    # reversed winding exactly like the reference (marching_cubes.cc:199-218)
+    te_rev = te[..., ::-1]
+    gathered = jnp.take_along_axis(
+        edge_vids[..., None, :],
+        jnp.clip(te_rev, 0, 11),
+        axis=-1,
+    )  # [cz, cy, cx, 5, 3]
+
+    tri_valid_flat = tri_valid.reshape(-1)
+    tri_vids_flat = gathered.reshape(-1, 3)
+    tid = jnp.cumsum(tri_valid_flat.astype(jnp.int32)) - 1
+    n_faces = jnp.sum(tri_valid_flat.astype(jnp.int32))
+    fscatter = jnp.where(tri_valid_flat, tid, face_capacity)
+    faces = (
+        jnp.zeros((face_capacity, 3), jnp.int32)
+        .at[fscatter]
+        .set(tri_vids_flat, mode="drop")
+    )
+
+    return vertices, n_vertices, faces, n_faces
+
+
+def extract_mesh(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    capacity_hint: int | None = None,
+) -> Mesh:
+    """Host wrapper: run device MC, trim to counts, return a Mesh.
+
+    Automatically re-runs with doubled capacities if the fixed buffers
+    overflow (counts are exact regardless of capacity)."""
+    nz, ny, nx = state.sdf.shape
+    if capacity_hint is None:
+        # surface area heuristic: O(n^2) cubes cut, ~3 verts/cube
+        est = int(6 * max(nx * ny, ny * nz, nx * nz))
+        capacity_hint = max(1 << 12, est)
+    vcap = int(capacity_hint)
+    fcap = int(2 * capacity_hint)
+    for _ in range(8):
+        verts, nv, faces, nf = marching_cubes_dense(
+            state,
+            grid,
+            iso_level=float(iso_level),
+            linear_interp=bool(linear_interp),
+            vertex_capacity=vcap,
+            face_capacity=fcap,
+        )
+        nv = int(nv)
+        nf = int(nf)
+        if nv <= vcap and nf <= fcap:
+            return Mesh(
+                vertices=np.asarray(verts)[:nv],
+                faces=np.asarray(faces)[:nf],
+            )
+        if nv > vcap:
+            vcap = max(2 * vcap, nv)
+        if nf > fcap:
+            fcap = max(2 * fcap, nf)
+    raise RuntimeError("marching cubes capacity loop failed to converge")

@@ -1,0 +1,7 @@
+from .log import LOGD, LOGE, LOGI, LOGW, LogLevel, set_log_level
+from .timing import Timer, device_timer
+
+
+def zfill(n: int, width: int = 5) -> str:
+    """Zero-padded numbering (reference: include/vacancy/common.h:70-82)."""
+    return str(n).zfill(width)

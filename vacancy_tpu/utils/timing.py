@@ -1,0 +1,59 @@
+"""Wall-clock timing (reference: src/vacancy/timer.h:13-46).
+
+Adds a `block_until_ready`-aware context manager for timing device work,
+plus the reference's 30-sample rolling average.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from contextlib import contextmanager
+from typing import Optional
+
+import jax
+
+
+class Timer:
+    """Start/End wall-clock timer with a rolling average (default 30)."""
+
+    def __init__(self, history: int = 30):
+        self._start: Optional[float] = None
+        self._elapsed_ms: float = 0.0
+        self._history = collections.deque(maxlen=history)
+
+    def start(self) -> None:
+        self._start = time.perf_counter()
+
+    def end(self) -> float:
+        assert self._start is not None, "end() without start()"
+        self._elapsed_ms = (time.perf_counter() - self._start) * 1e3
+        self._history.append(self._elapsed_ms)
+        self._start = None
+        return self._elapsed_ms
+
+    @property
+    def elapsed_msec(self) -> float:
+        return self._elapsed_ms
+
+    @property
+    def average_msec(self) -> float:
+        if not self._history:
+            return 0.0
+        return sum(self._history) / len(self._history)
+
+
+@contextmanager
+def device_timer(label: str = "", result_holder: Optional[dict] = None):
+    """Times a block, synchronizing outstanding device work at both ends."""
+    (jax.device_put(0.0) + 0).block_until_ready()
+    t0 = time.perf_counter()
+    out = {}
+    try:
+        yield out
+    finally:
+        (jax.device_put(0.0) + 0).block_until_ready()
+        out["ms"] = (time.perf_counter() - t0) * 1e3
+        out["label"] = label
+        if result_holder is not None:
+            result_holder.update(out)
