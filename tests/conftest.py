@@ -2,12 +2,19 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware (SURVEY.md section 4: distributed-without-a-cluster).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: this environment pins JAX_PLATFORMS=axon (the TPU tunnel), and the
+# in-process env var is overridden somewhere during jax init -- the config
+# update below is the reliable way to force CPU.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("VACANCY_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

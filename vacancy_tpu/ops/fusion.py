@@ -170,6 +170,34 @@ def _carve_one_view(
     return out_sdf, out_un
 
 
+def fold_views(
+    sdf: jax.Array,
+    update_num: jax.Array,
+    pos_w: jax.Array,  # f32[..., 3] voxel centers matching sdf's shape
+    w2c: jax.Array,  # f32[V, 4, 4]
+    principal_point: jax.Array,  # f32[V, 2]
+    focal_length: jax.Array,  # f32[V, 2]
+    sdf_images: jax.Array,  # f32[V, H, W]
+    max_sdfs: jax.Array,  # f32[V]
+    roi: Tuple[int, int, int, int],
+    opt: VoxelUpdateOption,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequentially fold a stacked view batch into (sdf, update_num).
+
+    This is the shard-local core: pure elementwise per voxel, no
+    communication -- the sharded path maps it over grid blocks."""
+    v_count = sdf_images.shape[0]
+
+    def body(i, carry):
+        s, un = carry
+        return _carve_one_view(
+            s, un, pos_w, w2c[i], principal_point[i], focal_length[i],
+            sdf_images[i], max_sdfs[i], roi, opt,
+        )
+
+    return jax.lax.fori_loop(0, v_count, body, (sdf, update_num))
+
+
 @partial(jax.jit, static_argnames=("grid", "roi", "opt"))
 def carve_views(
     state: VoxelGridState,
@@ -200,23 +228,9 @@ def carve_views(
     # per-image max over the *whole* image (voxel_carver.cc:436)
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
 
-    def body(i, carry):
-        sdf, un = carry
-        return _carve_one_view(
-            sdf,
-            un,
-            pos_w,
-            w2c[i],
-            principal_point[i],
-            focal_length[i],
-            sdf_images[i],
-            max_sdfs[i],
-            roi,
-            opt,
-        )
-
-    sdf, un = jax.lax.fori_loop(
-        0, v_count, body, (state.sdf, state.update_num)
+    sdf, un = fold_views(
+        state.sdf, state.update_num, pos_w, w2c, principal_point,
+        focal_length, sdf_images, max_sdfs, roi, opt,
     )
     return VoxelGridState(sdf=sdf, update_num=un)
 

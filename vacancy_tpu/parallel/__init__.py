@@ -1,0 +1,12 @@
+from .mesh_utils import (
+    grid_sharding,
+    make_device_mesh,
+    pad_bbox_for_sharding,
+    replicated,
+    validate_divisible,
+)
+from .sharded import (
+    carve_views_sharded,
+    extract_mesh_sharded,
+    marching_cubes_sharded,
+)

@@ -1,0 +1,78 @@
+"""Device-mesh and sharding helpers.
+
+The voxel grid is block-partitioned along its z (slowest) axis over a 1D
+``jax.sharding.Mesh`` axis named "z". Fusion is embarrassingly parallel
+per block (SURVEY section 5: the only cross-block dependency in the whole
+pipeline is marching cubes reading a one-voxel neighborhood); cameras and
+SDF images are replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grid import GridSpec
+
+
+def make_device_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_name: str = "z",
+) -> Mesh:
+    """A 1D device mesh over the grid's z axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def grid_sharding(mesh: Mesh, axis_name: str = "z") -> NamedSharding:
+    """Sharding for [Z, Y, X] grid-state arrays: block-partitioned on z."""
+    return NamedSharding(mesh, P(axis_name, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def validate_divisible(grid: GridSpec, n_shards: int) -> int:
+    """The z extent must divide evenly across shards; returns the block."""
+    nz = grid.shape_zyx[0]
+    if nz % n_shards != 0:
+        raise ValueError(
+            f"grid z extent {nz} not divisible by {n_shards} shards; "
+            "use pad_bbox_for_sharding()"
+        )
+    return nz // n_shards
+
+
+def pad_bbox_for_sharding(grid: GridSpec, n_shards: int) -> GridSpec:
+    """Grow bb_max.z so the voxel count along z divides n_shards.
+
+    Extending the bounding box adds real voxels above the volume of
+    interest -- they participate in carving normally and simply get carved
+    away (or stay outside the silhouette cones), so results in the
+    original volume are unchanged.
+    """
+    nz = grid.shape_zyx[0]
+    if nz % n_shards == 0:
+        return grid
+    target = ((nz + n_shards - 1) // n_shards) * n_shards
+    # voxel_num = int(f32(diff) / res): nudge diff.z just past target*res
+    bb_min = grid.bb_min
+    res = np.float32(grid.resolution)
+    new_z = np.float32(bb_min[2]) + res * (target + np.float32(0.5))
+    new_grid = GridSpec(
+        bb_min=bb_min,
+        bb_max=(grid.bb_max[0], grid.bb_max[1], float(new_z)),
+        resolution=grid.resolution,
+    )
+    assert new_grid.shape_zyx[0] == target, (
+        new_grid.shape_zyx, target
+    )
+    return new_grid

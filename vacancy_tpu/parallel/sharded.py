@@ -1,0 +1,388 @@
+"""Sharded fusion + marching cubes over a device mesh (shard_map + ppermute).
+
+Replaces the reference's OpenMP z-slice threading (``voxel_carver.cc:
+439-442``) with grid block-sharding over ICI/DCN:
+
+  * **fusion**: pure data parallel over z blocks -- zero communication;
+    cameras/SDF images replicated, voxel centers computed from the
+    shard-local z slice.
+  * **marching cubes**: needs a one-voxel neighborhood across block seams
+    (``marching_cubes.cc:92-101``), resolved with TWO explicit halo
+    exchanges over `jax.lax.ppermute`:
+      1. before the case pass: each shard receives its -z neighbor's last
+         voxel slice and its +z neighbor's first voxel slice (sdf AND
+         update-validity, SURVEY section 7 hard-part 4);
+      2. after vertex-id assignment: each shard receives its +z
+         neighbor's first slice of global vertex ids, so triangles that
+         straddle the seam reference the neighbor's welded vertices.
+    Vertex ids are globally unique and deterministic: local (axis, z, y,
+    x)-order ids offset by an exclusive scan over all-gathered per-shard
+    counts -- the sharded mesh equals the single-device mesh up to a
+    fixed permutation of vertex ids (tests/test_sharding.py proves
+    geometric equality and watertight seams).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..config import INVALID_SDF, VoxelUpdateOption
+from ..grid import GridSpec, VoxelGridState
+from ..mesh import Mesh as TriMesh
+from ..ops.fusion import fold_views
+from ..ops.marching_cubes import _edge_vertex_interp
+from ..ops.mc_tables import CORNER_OFFSETS, EDGE_AXIS, EDGE_OWNER, TRI_TABLE
+
+AXIS = "z"
+
+
+# ----------------------------------------------------------------------
+# sharded fusion
+# ----------------------------------------------------------------------
+
+
+@partial(
+    jax.jit, static_argnames=("grid", "roi", "opt", "mesh")
+)
+def carve_views_sharded(
+    state: VoxelGridState,
+    grid: GridSpec,
+    w2c: jax.Array,
+    principal_point: jax.Array,
+    focal_length: jax.Array,
+    sdf_images: jax.Array,
+    roi: Optional[Tuple[int, int, int, int]] = None,
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+    mesh: Optional[Mesh] = None,
+) -> VoxelGridState:
+    """Shard-mapped multi-view fusion: each device fuses its z block.
+
+    Zero-communication data parallelism over space: every voxel's update
+    depends only on its own position plus the replicated cameras/images.
+    """
+    assert mesh is not None
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        principal_point = principal_point[None]
+        focal_length = focal_length[None]
+        sdf_images = sdf_images[None]
+    _, h, w = sdf_images.shape
+    if roi is None:
+        roi = (0, 0, w - 1, h - 1)
+
+    max_sdfs = jnp.max(sdf_images, axis=(1, 2))
+    cz_full = jnp.asarray(grid.axis_centers(2))  # f32[Z], sharded below
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+
+    def local_fn(sdf, un, cz, w2c_, pp_, fl_, imgs_, maxs_):
+        # local voxel centers from the shard's slice of z centers
+        zz, yy, xx = jnp.meshgrid(cz, cy, cx, indexing="ij")
+        pos = jnp.stack([xx, yy, zz], axis=-1)
+        new_sdf, new_un = fold_views(
+            sdf, un, pos, w2c_, pp_, fl_, imgs_, maxs_, roi, opt
+        )
+        return new_sdf, new_un
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None, None),
+            P(AXIS, None, None),
+            P(AXIS),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+    )
+    new_sdf, new_un = fn(
+        state.sdf, state.update_num, cz_full, w2c, principal_point,
+        focal_length, sdf_images, max_sdfs,
+    )
+    return VoxelGridState(sdf=new_sdf, update_num=new_un)
+
+
+# ----------------------------------------------------------------------
+# sharded marching cubes with halo exchange
+# ----------------------------------------------------------------------
+
+
+def _ppermute_fwd(x, n):
+    """Send to the previous shard: shard k receives shard k+1's payload."""
+    return jax.lax.ppermute(
+        x, AXIS, [(i, (i - 1) % n) for i in range(n)]
+    )
+
+
+def _ppermute_bwd(x, n):
+    """Send to the next shard: shard k receives shard k-1's payload."""
+    return jax.lax.ppermute(
+        x, AXIS, [(i, (i + 1) % n) for i in range(n)]
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "iso_level", "linear_interp", "vertex_capacity",
+        "face_capacity", "mesh",
+    ),
+)
+def marching_cubes_sharded(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    vertex_capacity: int = 1 << 16,
+    face_capacity: int = 1 << 17,
+    mesh: Optional[Mesh] = None,
+):
+    """Marching cubes over a z-sharded grid with explicit halo exchange.
+
+    Returns per-shard stacked buffers:
+      vertices f32[n*vertex_capacity, 3], v_counts i32[n],
+      faces    i32[n*face_capacity, 3],  f_counts i32[n]
+    where shard k's valid elements are the first counts[k] entries of its
+    block and face entries reference *global* vertex ids.
+    """
+    assert mesh is not None
+    n = mesh.shape[AXIS]
+    nz, ny, nx = state.sdf.shape
+    lz = nz // n
+
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+    cz_full = jnp.asarray(grid.axis_centers(2))
+    centers_xy = (cx, cy)
+    iso = float(iso_level)
+
+    def local_fn(sdf, un, cz):
+        k = jax.lax.axis_index(AXIS)
+        # ---- halo exchange 1: voxel slices across seams ----
+        # from next shard (+z): its first slice; from prev: its last slice
+        sdf_next = _ppermute_fwd(sdf[:1], n)
+        un_next = _ppermute_fwd(un[:1], n)
+        sdf_prev = _ppermute_bwd(sdf[-1:], n)
+        un_prev = _ppermute_bwd(un[-1:], n)
+        cz_next = _ppermute_fwd(cz[:1], n)
+        # boundary shards have no neighbor: mark halo invalid
+        invalid = jnp.full_like(sdf_next, INVALID_SDF)
+        sdf_next = jnp.where(k == n - 1, invalid, sdf_next)
+        un_next = jnp.where(k == n - 1, 0, un_next)
+        sdf_prev = jnp.where(k == 0, invalid, sdf_prev)
+        un_prev = jnp.where(k == 0, 0, un_prev)
+        # z centers: halo slice center (value only matters off-boundary)
+        cz_next = jnp.where(k == n - 1, cz[-1] + 1.0, cz_next)
+
+        sdf_ext = jnp.concatenate([sdf_prev, sdf, sdf_next], axis=0)
+        un_ext = jnp.concatenate([un_prev, un, un_next], axis=0)
+        cz_ext = jnp.concatenate(
+            [cz[:1] - 1.0 * 0, cz, cz_next], axis=0
+        )  # index 0 (prev center) is never used for owned-edge positions
+        # ext z indices: 0 = prev halo, 1..lz = local, lz+1 = next halo
+
+        # ---- cube validity for ext bases 0..lz (lz+1 cubes) ----
+        def corner(vol, c):
+            dx, dy, dz = (int(v) for v in CORNER_OFFSETS[c])
+            return vol[dz : dz + lz + 1, dy : dy + ny - 1, dx : dx + nx - 1]
+
+        csdf = [corner(sdf_ext, c) for c in range(8)]
+        valid = csdf[0] != INVALID_SDF
+        for c in range(1, 8):
+            valid &= csdf[c] != INVALID_SDF
+        valid &= corner(un_ext, 6) >= 1
+        # cube base 0 (global z0-1) belongs to the previous shard: it is
+        # used only for edge flags; bases 1..lz are owned (top one is
+        # automatically invalid on the last shard via the INVALID halo).
+        case = jnp.zeros(valid.shape, jnp.int32)
+        for c in range(8):
+            case |= (csdf[c] < iso).astype(jnp.int32) << c
+
+        # ---- owned canonical edges: ext owner z in 1..lz ----
+        own_sdf = sdf_ext[1 : lz + 1]  # == local sdf
+
+        def axis_edges(axis):
+            if axis == 0:
+                s0, s1 = own_sdf[:, :, :-1], own_sdf[:, :, 1:]
+                pad = ((0, 0), (0, 0), (0, 1))
+                c_axis = centers_xy[0]
+                p0 = c_axis[:-1].reshape(1, 1, -1)
+                p1 = c_axis[1:].reshape(1, 1, -1)
+            elif axis == 1:
+                s0, s1 = own_sdf[:, :-1, :], own_sdf[:, 1:, :]
+                pad = ((0, 0), (0, 1), (0, 0))
+                c_axis = centers_xy[1]
+                p0 = c_axis[:-1].reshape(1, -1, 1)
+                p1 = c_axis[1:].reshape(1, -1, 1)
+            else:
+                # z edges: owner ext 1..lz, partner ext 2..lz+1
+                s0 = sdf_ext[1 : lz + 1]
+                s1 = sdf_ext[2 : lz + 2]
+                pad = None
+                p0 = cz_ext[1 : lz + 1].reshape(-1, 1, 1)
+                p1 = cz_ext[2 : lz + 2].reshape(-1, 1, 1)
+            straddle = (s0 < iso) != (s1 < iso)
+            pvar = _edge_vertex_interp(s0, s1, p0, p1, iso, linear_interp)
+            pvar = jnp.broadcast_to(pvar, s0.shape)
+            if pad is not None:
+                straddle = jnp.pad(straddle, pad)
+                pvar = jnp.pad(pvar, pad)
+            return straddle, pvar
+
+        straddles, pvars = zip(*(axis_edges(a) for a in range(3)))
+
+        # adjacent-cube validity per owned edge; `valid` covers ext bases
+        # 0..lz which is exactly the range adjacent to owners 1..lz.
+        valid_pad = jnp.pad(valid, ((0, 0), (1, 1), (1, 1)))
+
+        def adjacent_valid(axis):
+            out = jnp.zeros((lz, ny, nx), jnp.bool_)
+            for a_, b_ in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                if axis == 0:
+                    # owner (z,y,x) e1..lz: cubes ext base (z-1..z, y-1..y, x)
+                    blk = valid_pad[:, :, 1 : 1 + nx]
+                    out |= blk[a_ : a_ + lz, b_ : b_ + ny, :]
+                elif axis == 1:
+                    blk = valid_pad[:, 1 : 1 + ny, :]
+                    out |= blk[a_ : a_ + lz, :, b_ : b_ + nx]
+                else:
+                    # z-edge owner ext z: cubes ext base z only
+                    blk = valid_pad[1 : 1 + lz, :, :]
+                    out |= blk[:, a_ : a_ + ny, b_ : b_ + nx]
+            return out
+
+        vflags = [straddles[a] & adjacent_valid(a) for a in range(3)]
+        vpos = []
+        px = jnp.broadcast_to(cx.reshape(1, 1, nx), (lz, ny, nx))
+        py = jnp.broadcast_to(cy.reshape(1, ny, 1), (lz, ny, nx))
+        pz = jnp.broadcast_to(
+            cz_ext[1 : lz + 1].reshape(lz, 1, 1), (lz, ny, nx)
+        )
+        for a in range(3):
+            coords = [px, py, pz]
+            coords[a] = pvars[a]
+            vpos.append(jnp.stack(coords, axis=-1))
+
+        # ---- local ids + global offset ----
+        flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
+        pos_flat = jnp.concatenate([p.reshape(-1, 3) for p in vpos])
+        local_vid = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
+        my_count = jnp.sum(flags_flat.astype(jnp.int32))
+        counts = jax.lax.all_gather(my_count, AXIS)  # [n]
+        offset = jnp.sum(
+            jnp.where(jnp.arange(n) < k, counts, 0)
+        )
+        gvid_flat = local_vid + offset
+
+        scatter_idx = jnp.where(flags_flat, local_vid, vertex_capacity)
+        verts_out = (
+            jnp.zeros((vertex_capacity, 3), jnp.float32)
+            .at[scatter_idx]
+            .set(pos_flat, mode="drop")
+        )
+
+        gvid = gvid_flat.reshape(3, lz, ny, nx)
+
+        # ---- halo exchange 2: neighbor's first owned vid slice ----
+        gvid_next = _ppermute_fwd(gvid[:, :1], n)  # [3, 1, ny, nx]
+        # last shard never references it (its top cubes are invalid)
+        gvid_ext = jnp.concatenate([gvid, gvid_next], axis=1)  # [3, lz+1,...]
+
+        # ---- triangles for owned cubes (ext bases 1..lz) ----
+        case_own = case[1 : lz + 1]
+        valid_own = valid[1 : lz + 1]
+        edge_vids = []
+        for e in range(12):
+            a = int(EDGE_AXIS[e])
+            ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
+            # owned cube local base l (0..lz-1) -> owner ext z = l+1+oz
+            # -> gvid_ext index l + oz (gvid_ext[0] == owner ext 1)
+            edge_vids.append(
+                gvid_ext[a][oz : oz + lz, oy : oy + ny - 1, ox : ox + nx - 1]
+            )
+        edge_vids = jnp.stack(edge_vids, axis=-1)
+
+        tri_tab = jnp.asarray(TRI_TABLE)
+        te = tri_tab[case_own][..., :15].reshape(lz, ny - 1, nx - 1, 5, 3)
+        tri_valid = (te[..., 0] >= 0) & valid_own[..., None]
+        te_rev = te[..., ::-1]
+        gathered = jnp.take_along_axis(
+            edge_vids[..., None, :], jnp.clip(te_rev, 0, 11), axis=-1
+        )
+
+        tv_flat = tri_valid.reshape(-1)
+        tvid_flat = gathered.reshape(-1, 3)
+        tid = jnp.cumsum(tv_flat.astype(jnp.int32)) - 1
+        my_faces = jnp.sum(tv_flat.astype(jnp.int32))
+        fscatter = jnp.where(tv_flat, tid, face_capacity)
+        faces_out = (
+            jnp.zeros((face_capacity, 3), jnp.int32)
+            .at[fscatter]
+            .set(tvid_flat, mode="drop")
+        )
+
+        return (
+            verts_out,
+            my_count.reshape(1),
+            faces_out,
+            my_faces.reshape(1),
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS)),
+    )
+    return fn(state.sdf, state.update_num, cz_full)
+
+
+def extract_mesh_sharded(
+    state: VoxelGridState,
+    grid: GridSpec,
+    mesh: Mesh,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    capacity_hint: Optional[int] = None,
+) -> TriMesh:
+    """Host wrapper: sharded MC -> trimmed, concatenated welded mesh."""
+    n = mesh.shape[AXIS]
+    nz, ny, nx = state.sdf.shape
+    if capacity_hint is None:
+        capacity_hint = max(1 << 12, int(8 * ny * nx))
+    vcap = int(capacity_hint)
+    fcap = int(2 * capacity_hint)
+    for _ in range(8):
+        verts, vc, faces, fc = marching_cubes_sharded(
+            state, grid,
+            iso_level=float(iso_level),
+            linear_interp=bool(linear_interp),
+            vertex_capacity=vcap, face_capacity=fcap, mesh=mesh,
+        )
+        vc = np.asarray(vc)
+        fc = np.asarray(fc)
+        if vc.max(initial=0) <= vcap and fc.max(initial=0) <= fcap:
+            verts = np.asarray(verts).reshape(n, vcap, 3)
+            faces = np.asarray(faces).reshape(n, fcap, 3)
+            v_list = [verts[k, : vc[k]] for k in range(n)]
+            f_list = [faces[k, : fc[k]] for k in range(n)]
+            return TriMesh(
+                vertices=np.concatenate(v_list) if v_list else
+                np.zeros((0, 3), np.float32),
+                faces=np.concatenate(f_list) if f_list else
+                np.zeros((0, 3), np.int32),
+            )
+        vcap = max(2 * vcap, int(vc.max()))
+        fcap = max(2 * fcap, int(fc.max()))
+    raise RuntimeError("sharded marching cubes capacity loop diverged")
