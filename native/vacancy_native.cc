@@ -1,0 +1,160 @@
+// Native host-side runtime for vacancy_tpu: fast mesh I/O and welding.
+//
+// The reference implements its host runtime in C++ (mesh.cc: ascii PLY
+// write ~mesh.cc:583-631, O(n^2) vertex dedup ~mesh.cc:115-146). This
+// library provides the equivalents tuned for large meshes produced by
+// big grids: buffered single-pass PLY write (ascii + binary) and an
+// O(n) hash-based vertex weld. Exposed via C ABI for ctypes.
+//
+// Build: make -C native   (-> libvacancy_native.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vec3Key {
+  uint32_t a, b, c;
+  bool operator==(const Vec3Key& o) const {
+    return a == o.a && b == o.b && c == o.c;
+  }
+};
+
+struct Vec3KeyHash {
+  size_t operator()(const Vec3Key& k) const {
+    // 64-bit mix of the three bit patterns (splitmix-style)
+    uint64_t h = k.a;
+    h = (h ^ (uint64_t(k.b) << 21)) * 0x9E3779B97F4A7C15ull;
+    h = (h ^ (h >> 31) ^ (uint64_t(k.c) << 42)) * 0xBF58476D1CE4E5B9ull;
+    return size_t(h ^ (h >> 29));
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Writes a triangle mesh as PLY. colors (uint8 RGB per vertex) may be
+// null. binary != 0 -> binary_little_endian, else ascii. Returns 0 on
+// success.
+int vacancy_write_ply(const char* path, const float* verts, int64_t nv,
+                      const int32_t* faces, int64_t nf,
+                      const uint8_t* colors, int binary) {
+  FILE* fp = fopen(path, binary ? "wb" : "w");
+  if (!fp) return 1;
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(fp, iobuf.data(), _IOFBF, iobuf.size());
+
+  fprintf(fp, "ply\nformat %s 1.0\nelement vertex %lld\n",
+          binary ? "binary_little_endian" : "ascii",
+          static_cast<long long>(nv));
+  fprintf(fp, "property float x\nproperty float y\nproperty float z\n");
+  if (colors) {
+    fprintf(fp,
+            "property uchar red\nproperty uchar green\nproperty uchar "
+            "blue\nproperty uchar alpha\n");
+  }
+  fprintf(fp, "element face %lld\n", static_cast<long long>(nf));
+  fprintf(fp, "property list uchar int vertex_indices\nend_header\n");
+
+  if (binary) {
+    if (colors) {
+      // interleave xyz + rgba
+      std::vector<char> rec(16);
+      for (int64_t i = 0; i < nv; i++) {
+        memcpy(rec.data(), verts + 3 * i, 12);
+        rec[12] = char(colors[3 * i + 0]);
+        rec[13] = char(colors[3 * i + 1]);
+        rec[14] = char(colors[3 * i + 2]);
+        rec[15] = char(0xFF);
+        fwrite(rec.data(), 1, 16, fp);
+      }
+    } else {
+      fwrite(verts, sizeof(float), size_t(nv) * 3, fp);
+    }
+    std::vector<char> frec(13);
+    frec[0] = 3;
+    for (int64_t i = 0; i < nf; i++) {
+      memcpy(frec.data() + 1, faces + 3 * i, 12);
+      fwrite(frec.data(), 1, 13, fp);
+    }
+  } else {
+    for (int64_t i = 0; i < nv; i++) {
+      if (colors) {
+        fprintf(fp, "%g %g %g %d %d %d 255 \n", verts[3 * i], verts[3 * i + 1],
+                verts[3 * i + 2], colors[3 * i], colors[3 * i + 1],
+                colors[3 * i + 2]);
+      } else {
+        fprintf(fp, "%g %g %g \n", verts[3 * i], verts[3 * i + 1],
+                verts[3 * i + 2]);
+      }
+    }
+    for (int64_t i = 0; i < nf; i++) {
+      fprintf(fp, "3 %d %d %d \n", faces[3 * i], faces[3 * i + 1],
+              faces[3 * i + 2]);
+    }
+  }
+  int err = ferror(fp);
+  fclose(fp);
+  return err ? 2 : 0;
+}
+
+// Welds exactly-equal vertices (bit-pattern equality, first occurrence
+// kept in order). verts_out must have room for nv*3 floats; remap_out
+// for nv int32. Returns the number of unique vertices, or -1 on error.
+int64_t vacancy_weld_vertices(const float* verts, int64_t nv,
+                              float* verts_out, int32_t* remap_out) {
+  if (nv < 0) return -1;
+  std::unordered_map<Vec3Key, int32_t, Vec3KeyHash> seen;
+  seen.reserve(size_t(nv) * 2);
+  int64_t n_out = 0;
+  for (int64_t i = 0; i < nv; i++) {
+    Vec3Key k;
+    memcpy(&k.a, verts + 3 * i + 0, 4);
+    memcpy(&k.b, verts + 3 * i + 1, 4);
+    memcpy(&k.c, verts + 3 * i + 2, 4);
+    auto it = seen.find(k);
+    if (it == seen.end()) {
+      int32_t idx = int32_t(n_out);
+      seen.emplace(k, idx);
+      memcpy(verts_out + 3 * n_out, verts + 3 * i, 12);
+      remap_out[i] = idx;
+      n_out++;
+    } else {
+      remap_out[i] = it->second;
+    }
+  }
+  return n_out;
+}
+
+// Parses an ascii PLY body of N "x y z" lines into floats. Used to
+// accelerate large ascii PLY loads. Returns number parsed.
+int64_t vacancy_parse_float3_lines(const char* buf, int64_t buflen,
+                                   int64_t max_rows, float* out) {
+  const char* p = buf;
+  const char* end = buf + buflen;
+  int64_t row = 0;
+  while (row < max_rows && p < end) {
+    char* next = nullptr;
+    float x = strtof(p, &next);
+    if (next == p) break;
+    p = next;
+    float y = strtof(p, &next);
+    p = next;
+    float z = strtof(p, &next);
+    p = next;
+    out[3 * row + 0] = x;
+    out[3 * row + 1] = y;
+    out[3 * row + 2] = z;
+    row++;
+    while (p < end && *p != '\n') p++;
+    if (p < end) p++;
+  }
+  return row;
+}
+
+}  // extern "C"

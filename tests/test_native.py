@@ -1,0 +1,49 @@
+"""Native C++ library tests (skipped when the .so is not built)."""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.io.native import available, native_weld, native_write_ply
+from vacancy_tpu.mesh import Mesh
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native library not built (make -C native)"
+)
+
+
+def test_native_weld_matches_numpy():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(50, 3)).astype(np.float32)
+    idx = rng.integers(0, 50, size=300)
+    verts = base[idx]
+    faces = rng.integers(0, 300, size=(100, 3)).astype(np.int32)
+
+    out_v, out_f = native_weld(verts, faces)
+    assert len(out_v) == len(np.unique(verts, axis=0))
+    # every face still references the same coordinates
+    np.testing.assert_array_equal(out_v[out_f], verts[faces])
+    # first-occurrence order
+    m = Mesh(vertices=verts.copy(), faces=faces.copy())
+    m.remove_duplicated_vertices()
+    np.testing.assert_array_equal(m.vertices, out_v)
+
+
+def test_native_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    mesh = Mesh(
+        vertices=rng.normal(size=(40, 3)).astype(np.float32),
+        faces=rng.integers(0, 40, size=(30, 3)).astype(np.int32),
+    )
+    # binary: bit-exact
+    p = str(tmp_path / "native_bin.ply")
+    assert native_write_ply(p, mesh, binary=True)
+    back = Mesh.load_ply(p)
+    np.testing.assert_array_equal(back.vertices, mesh.vertices)
+    np.testing.assert_array_equal(back.faces, mesh.faces)
+    # ascii with colors
+    mesh.vertex_colors = rng.uniform(0, 255, size=(40, 3)).astype(np.float32)
+    p2 = str(tmp_path / "native_ascii.ply")
+    assert native_write_ply(p2, mesh, binary=False)
+    back2 = Mesh.load_ply(p2)
+    np.testing.assert_allclose(back2.vertices, mesh.vertices, rtol=1e-5)
+    np.testing.assert_array_equal(back2.faces, mesh.faces)

