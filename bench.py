@@ -1,8 +1,10 @@
 """Headline benchmark: voxel-view fusions/sec/chip (BASELINE.json metric).
 
 Fuses a batch of views into a 256^3 grid (the BASELINE 256^3/512^3
-configs) and reports steady-state throughput as voxel-view fusions per
-second on one chip. vs_baseline is the ratio against the 1e9/s target.
+configs) with the two-pass projective-warp Pallas engine
+(vacancy_tpu/ops/fusion_warp.py) and reports steady-state throughput as
+voxel-view fusions per second on one chip. vs_baseline is the ratio
+against the 1e9/s target.
 
 Prints exactly one JSON line.
 """
@@ -15,81 +17,73 @@ import time
 import numpy as np
 
 
-def run_bench(n=256, n_views=24, iters=8, warmup=2):
-    import jax
+def build_case(n=256, n_views=24, h=240, w=320):
     import jax.numpy as jnp
 
     from vacancy_tpu.camera import PinholeCamera
-    from vacancy_tpu.config import VoxelUpdateOption
     from vacancy_tpu.grid import GridSpec, VoxelGridState
-    from vacancy_tpu.ops.fusion import carve_views
+    from vacancy_tpu.synthetic import look_at
 
     res = 2.0 / n
     grid = GridSpec(
         bb_min=(-1.0, -1.0, -1.0),
-        bb_max=(
-            -1.0 + n * res + 0.3 * res,
-            -1.0 + n * res + 0.3 * res,
-            -1.0 + n * res + 0.3 * res,
-        ),
+        bb_max=(-1.0 + (n + 0.3) * res,) * 3,
         resolution=res,
     )
     assert grid.shape_zyx == (n, n, n), grid.shape_zyx
-
-    h, w = 240, 320
     rng = np.random.default_rng(0)
-    cams = []
-    for i in range(n_views):
-        ang = 2 * np.pi * i / n_views
-        c2w = np.eye(4)
-        c2w[:3, :3] = np.array(
-            [
-                [np.cos(ang), 0, np.sin(ang)],
-                [0, 1, 0],
-                [-np.sin(ang), 0, np.cos(ang)],
-            ]
+    cams = [
+        PinholeCamera.create(
+            w, h,
+            c2w=look_at(
+                [
+                    3.5 * np.sin(2 * np.pi * i / n_views),
+                    0.5,
+                    -3.5 * np.cos(2 * np.pi * i / n_views),
+                ],
+                np.zeros(3),
+            ),
+            principal_point=np.array([159.5, 119.5], np.float32),
+            focal_length=np.array([260.0, 260.0], np.float32),
         )
-        c2w[:3, 3] = -c2w[:3, :3] @ np.array([0.0, 0.0, -4.0])
-        cams.append(
-            PinholeCamera.create(
-                w, h, c2w=c2w,
-                principal_point=np.array([159.5, 119.5], np.float32),
-                focal_length=np.array([260.0, 260.0], np.float32),
-            )
-        )
+        for i in range(n_views)
+    ]
     w2c = jnp.stack([c.w2c for c in cams])
     pp = jnp.stack([c.principal_point for c in cams])
     fl = jnp.stack([c.focal_length for c in cams])
-    sdf_images = jnp.asarray(
-        rng.normal(size=(n_views, h, w)).astype(np.float32)
-    )
-    roi = (0, 0, w - 1, h - 1)
+    imgs = jnp.asarray(rng.normal(size=(n_views, h, w)).astype(np.float32))
+    state = VoxelGridState.create(grid)
+    return grid, state, w2c, pp, fl, imgs
+
+
+def run_bench(n=256, n_views=24, iters=4):
+    import jax.numpy as jnp
+
+    from vacancy_tpu.config import VoxelUpdateOption
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+
+    grid, state, w2c, pp, fl, imgs = build_case(n, n_views)
     opt = VoxelUpdateOption()
 
-    state = VoxelGridState.create(grid)
-
     def step(st):
-        return carve_views(st, grid, w2c, pp, fl, sdf_images, roi, opt)
+        return carve_views_warp(st, grid, w2c, pp, fl, imgs, opt)
 
-    # warmup / compile
-    st = state
-    for _ in range(warmup):
-        st = step(st)
-    jax.block_until_ready(st.sdf)
+    # warmup / compile (chained so nothing is elided)
+    st = step(state)
+    float(jnp.sum(st.sdf))
 
     t0 = time.perf_counter()
-    st = state
+    cur = state
     for _ in range(iters):
-        st = step(st)
-    jax.block_until_ready(st.sdf)
-    dt = time.perf_counter() - t0
+        cur = step(cur)
+    float(jnp.sum(cur.sdf))  # full sync through the tunnel
+    dt = (time.perf_counter() - t0) / iters
 
-    fusions = grid.num_voxels * n_views * iters
-    return fusions / dt, dt / iters
+    return grid.num_voxels * n_views / dt, dt
 
 
 def main():
-    rate, step_s = run_bench()
+    rate, _ = run_bench()
     target = 1e9  # BASELINE: >= 1 Gvoxel-view fusions/s/chip
     print(
         json.dumps(

@@ -1,0 +1,143 @@
+"""Warp-engine fusion vs the exact engine (interpret-mode Pallas on CPU).
+
+The two-pass warp approximates bilinear sampling; on smooth SDF images the
+distance error is sub-pixel-scale. Masks and update rules are shared, so
+update counts must match exactly wherever the sampled values agree.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vacancy_tpu.camera import PinholeCamera
+from vacancy_tpu.config import VoxelUpdate, VoxelUpdateOption
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.fusion import carve_views
+from vacancy_tpu.ops.fusion_warp import carve_views_warp
+from vacancy_tpu.ops.sdf2d import make_signed_distance_field
+from vacancy_tpu.ops.warp_gather import interp_rows
+
+
+def test_interp_rows_interpret_mode():
+    rng = np.random.default_rng(0)
+    tab = rng.normal(size=(3, 8, 40)).astype(np.float32)
+    pos = rng.uniform(-2, 42, size=(3, 8, 16)).astype(np.float32)
+    out = np.asarray(interp_rows(jnp.asarray(tab), jnp.asarray(pos), 40))
+    p0 = np.clip(np.floor(pos), 0, 39).astype(int)
+    p1 = np.minimum(p0 + 1, 39)
+    fr = pos - np.floor(pos)
+    ii = np.arange(3)[:, None, None]
+    jj = np.arange(8)[None, :, None]
+    ref = (1 - fr) * tab[ii, jj, p0] + fr * tab[ii, jj, p1]
+    inb = (pos >= 0) & (pos <= 39)
+    np.testing.assert_allclose(out[inb], ref[inb], rtol=1e-5, atol=1e-6)
+
+
+def _setup(n=20):
+    grid = GridSpec(
+        bb_min=(-1.0, -1.0, -1.0),
+        bb_max=(-1 + (n + 0.4) * 0.1,) * 3,
+        resolution=0.1,
+    )
+    assert grid.shape_zyx == (n, n, n)
+    h, w = 32, 40
+    from vacancy_tpu.synthetic import look_at
+
+    cams = []
+    for i in range(3):
+        ang = 2.0 * np.pi * i / 3
+        eye = np.array([4.0 * np.sin(ang), 0.7, -4.0 * np.cos(ang)])
+        c2w = look_at(eye, np.zeros(3))
+        cams.append(
+            PinholeCamera.create(
+                w, h, c2w=c2w,
+                principal_point=np.array([19.5, 15.5], np.float32),
+                focal_length=np.array([30.0, 30.0], np.float32),
+            )
+        )
+    # real SDF images from circular masks (smooth fields)
+    yy, xx = np.mgrid[0:h, 0:w]
+    masks = np.stack(
+        [
+            (((xx - 20) ** 2 + (yy - 16) ** 2) < (8 + i) ** 2).astype(
+                np.uint8
+            )
+            * 255
+            for i in range(3)
+        ]
+    )
+    import jax
+
+    sdf_imgs = jax.vmap(lambda m: make_signed_distance_field(m))(
+        jnp.asarray(masks)
+    )
+    w2c = jnp.stack([c.w2c for c in cams])
+    pp = jnp.stack([c.principal_point for c in cams])
+    fl = jnp.stack([c.focal_length for c in cams])
+    return grid, w2c, pp, fl, sdf_imgs
+
+
+@pytest.mark.parametrize(
+    "update", [VoxelUpdate.MAX, VoxelUpdate.WEIGHTED_AVERAGE]
+)
+def test_warp_close_to_exact(update):
+    grid, w2c, pp, fl, sdf_imgs = _setup()
+    opt = VoxelUpdateOption(voxel_update=update)
+    h, w = sdf_imgs.shape[1:]
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt,
+    )
+    warp = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs, opt
+    )
+    e_sdf = np.asarray(exact.sdf)
+    w_sdf = np.asarray(warp.sdf)
+    e_un = np.asarray(exact.update_num)
+    w_un = np.asarray(warp.update_num)
+    # identical touch pattern
+    np.testing.assert_array_equal(e_un >= 1, w_un >= 1)
+    touched = e_un >= 1
+    # warp error is bounded by ~the SDF image gradient over one pixel
+    err = np.abs(e_sdf[touched] - w_sdf[touched])
+    assert np.quantile(err, 0.99) < 0.05, np.quantile(err, [0.5, 0.99, 1.0])
+    assert err.max() < 0.25
+
+
+def test_warp_truncation_semantics():
+    grid, w2c, pp, fl, _ = _setup()
+    import jax
+
+    # truncated images carry -FLT_MAX sentinels
+    h, w = 32, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    masks = np.stack(
+        [
+            (((xx - 20) ** 2 + (yy - 16) ** 2) < 9**2).astype(np.uint8) * 255
+        ]
+        * 3
+    )
+    sdf_imgs = jax.vmap(
+        lambda m: make_signed_distance_field(
+            m, use_truncation=True, truncation_band=0.3
+        )
+    )(jnp.asarray(masks))
+    opt = VoxelUpdateOption(
+        voxel_update=VoxelUpdate.WEIGHTED_AVERAGE,
+        use_truncation=True,
+        truncation_band=0.3,
+    )
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt,
+    )
+    warp = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs, opt
+    )
+    e_un = np.asarray(exact.update_num)
+    w_un = np.asarray(warp.update_num)
+    # truncation-skip decisions may differ only on sentinel-boundary voxels
+    assert np.mean(e_un != w_un) < 0.02
+    both = (e_un >= 1) & (w_un >= 1) & (e_un == w_un)
+    err = np.abs(np.asarray(exact.sdf)[both] - np.asarray(warp.sdf)[both])
+    assert np.quantile(err, 0.99) < 0.1

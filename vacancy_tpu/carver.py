@@ -123,10 +123,17 @@ class VoxelCarver:
         self,
         cameras: Union[PinholeCamera, Sequence[PinholeCamera]],
         silhouettes: np.ndarray,
+        engine: str = "exact",
     ) -> np.ndarray:
         """Fuse a batch of views in one compiled step (the TPU-native
         replacement for the reference's sequential multi-view Carve,
-        voxel_carver.cc:516-528). Returns the per-view SDF images."""
+        voxel_carver.cc:516-528). Returns the per-view SDF images.
+
+        engine: "exact" samples the 2D SDF per voxel with reference-exact
+        bilinear/NN semantics; "warp" uses the two-pass projective-warp
+        Pallas engine (~300x faster on TPU, sub-pixel approximation of
+        bilinear; full-image ROI only).
+        """
         if self._state is None:
             raise RuntimeError("carve_batch: grid not initialized")
         camera = (
@@ -134,13 +141,45 @@ class VoxelCarver:
             if isinstance(cameras, PinholeCamera)
             else stack_cameras(list(cameras))
         )
-        self._state, sdf_images = carve_masks(
+        opt = self._option.update_option
+        if engine == "exact":
+            self._state, sdf_images = carve_masks(
+                self._state,
+                self._grid,
+                camera,
+                jnp.asarray(silhouettes),
+                opt=opt,
+                sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+            )
+            return np.asarray(sdf_images)
+        if engine != "warp":
+            raise ValueError(f"unknown engine {engine!r}")
+        import jax
+
+        from .config import SdfInterpolation
+        from .ops.fusion_warp import carve_views_warp
+        from .ops.sdf2d import make_signed_distance_field
+
+        masks = jnp.asarray(silhouettes)
+        if masks.ndim == 2:
+            masks = masks[None]
+        sdf_images = jax.vmap(
+            lambda m: make_signed_distance_field(
+                m,
+                minmax_normalize=self._option.sdf_minmax_normalize,
+                use_truncation=opt.use_truncation,
+                truncation_band=opt.truncation_band,
+            )
+        )(masks)
+        self._state = carve_views_warp(
             self._state,
             self._grid,
-            camera,
-            jnp.asarray(silhouettes),
-            opt=self._option.update_option,
-            sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+            camera.w2c,
+            camera.principal_point,
+            camera.focal_length,
+            sdf_images,
+            opt=opt,
+            linear=opt.sdf_interp == SdfInterpolation.BILINEAR,
         )
         return np.asarray(sdf_images)
 

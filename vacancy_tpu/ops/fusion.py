@@ -139,6 +139,22 @@ def _carve_one_view(
         raise ValueError(f"unknown outside policy {opt.update_outside}")
 
     skip = behind | bad_uv | skip_outside
+    return apply_view_update(sdf, update_num, dist, skip, opt)
+
+
+def apply_view_update(
+    sdf: jax.Array,
+    update_num: jax.Array,
+    dist: jax.Array,
+    skip: jax.Array,
+    opt: VoxelUpdateOption,
+) -> Tuple[jax.Array, jax.Array]:
+    """The per-voxel update rule given the sampled distance and skip mask.
+
+    Shared by the exact and warp fusion engines; implements the reference's
+    first-touch / cap / truncation-skip semantics (voxel_carver.cc:447-488)
+    and both update rules (voxel_carver.cc:78-95).
+    """
     # frozen voxels: update_num > cap (voxel_carver.cc:447-449)
     skip = skip | (update_num > opt.voxel_max_update_num)
     if opt.use_truncation:

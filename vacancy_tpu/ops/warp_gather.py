@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: chunked horizontal interpolation (the warp gather).
+
+The only hardware gather Mosaic exposes is ``tpu.dynamic_gather`` via
+same-shape ``take_along_axis`` along the 128-lane axis (out[i, j] =
+table[i, idx[i, j]] with idx in [0, 128)). This op builds exact 1D linear
+interpolation along image rows on top of it: the row axis is tiled into
+128-lane chunks held in VMEM, each tap gathers from every chunk and a
+chunk-id select keeps the right one.
+
+This is the inner loop of the two-pass projective-warp fusion engine
+(ops/fusion_warp.py) -- the TPU-native replacement for the reference's
+per-voxel ``SdfInterpolationBiliner`` (voxel_carver.cc:40-76), which XLA
+can only express as a scalar-loop gather (~0.08 G elem/s measured; this
+kernel sustains multiple G elem/s).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _interp_rows_kernel(n_chunks: int, width: int, linear: bool):
+    """Kernel factory: tables [C, R, 128] chunked rows; pos [R, T] f32
+    sample positions in [0, width); out [R, T] interpolated values."""
+
+    def kernel(tab_ref, pos_ref, out_ref):
+        pos = pos_ref[0]
+        if linear:
+            p0f = jnp.floor(pos)
+            frac = pos - p0f
+            p0 = p0f.astype(jnp.int32)
+        else:
+            # nearest neighbor: round half up like the reference NN
+            p0 = jnp.floor(pos + 0.5).astype(jnp.int32)
+            frac = None
+        p0 = jnp.clip(p0, 0, width - 1)
+        p1 = jnp.minimum(p0 + 1, width - 1)
+
+        def fetch(p):
+            chunk = p // LANE
+            lane = p - chunk * LANE
+            val = jnp.zeros(pos.shape, jnp.float32)
+            for c in range(n_chunks):
+                g = jnp.take_along_axis(tab_ref[0, c], lane, axis=1)
+                val = jnp.where(chunk == c, g, val)
+            return val
+
+        t0 = fetch(p0)
+        if linear:
+            t1 = fetch(p1)
+            out_ref[0] = (1.0 - frac) * t0 + frac * t1
+        else:
+            out_ref[0] = t0
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "linear", "share_table")
+)
+def interp_rows(
+    tables: jax.Array,  # f32[N, R, W] (or f32[1, R, W] with share_table)
+    pos: jax.Array,  # f32[N, R, T] -- sample positions in [0, width)
+    width: int,
+    linear: bool = True,
+    share_table: bool = False,
+) -> jax.Array:
+    """For each (n, r, t): linearly interpolate tables[n, r, :] at
+    pos[n, r, t] with clamp-to-edge taps. Returns f32[N, R, T].
+
+    With ``share_table`` the table batch dim must be 1 and is reused for
+    every n (avoids materializing a broadcast copy per slice).
+
+    Positions must already be clamped to finite values; taps are clamped
+    to [0, width) exactly like the reference's ROI clamp.
+    """
+    n, r, t = pos.shape
+    nt, rt, w = tables.shape
+    assert rt == r and w == width, (tables.shape, pos.shape, width)
+    assert nt == (1 if share_table else n), (tables.shape, share_table)
+
+    w_pad = ((width + LANE - 1) // LANE) * LANE
+    n_chunks = w_pad // LANE
+    if w_pad != w:
+        tables = jnp.pad(tables, ((0, 0), (0, 0), (0, w_pad - w)))
+    # [Nt, C, R, 128] chunked tables
+    chunked = tables.reshape(nt, r, n_chunks, LANE).transpose(0, 2, 1, 3)
+
+    t_pad = ((t + LANE - 1) // LANE) * LANE
+    if t_pad != t:
+        pos = jnp.pad(pos, ((0, 0), (0, 0), (0, t_pad - t)))
+    n_ttiles = t_pad // LANE
+
+    kernel = _interp_rows_kernel(n_chunks, width, linear)
+    interpret = jax.default_backend() != "tpu"
+    if share_table:
+        tab_index = lambda i, j: (0, 0, 0, 0)  # noqa: E731
+    else:
+        tab_index = lambda i, j: (i, 0, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_ttiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_chunks, r, LANE), tab_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, r, LANE), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r, LANE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, r, t_pad), jnp.float32),
+        interpret=interpret,
+    )(chunked, pos)
+    return out[:, :, :t]
