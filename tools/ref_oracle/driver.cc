@@ -1,0 +1,125 @@
+// Oracle driver: runs the *reference* vacancy library (linked from
+// /root/reference, unmodified) on the bundled bunny sequence and dumps
+// golden artifacts for the parity test suite:
+//   - per-view 2D signed-distance images (raw f32, H*W)
+//   - final marching-cubes mesh (interp + no-interp) as ascii PLY
+//   - final voxel-face mesh as ascii PLY
+// for both update rules (kMax carving and weighted-average TSDF).
+//
+// Masks are fed as raw 8-bit binaries (dumped by gen_golden.py) because
+// the reference's PNG path needs stb, which is not vendored here. Poses
+// are parsed from tumpose.txt directly (TUM format: id tx ty tz qx qy
+// qz qw), matching examples.cc:22-72 semantics.
+//
+// Build + run: python tools/ref_oracle/gen_golden.py
+
+#include <cstdio>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "Eigen/Geometry"
+#include "vacancy/camera.h"
+#include "vacancy/image.h"
+#include "vacancy/mesh.h"
+#include "vacancy/voxel_carver.h"
+
+namespace {
+
+std::vector<Eigen::Affine3d> LoadTum(const std::string& path) {
+  std::vector<Eigen::Affine3d> poses;
+  std::ifstream ifs(path);
+  std::string line;
+  while (std::getline(ifs, line)) {
+    std::istringstream ss(line);
+    double id, tx, ty, tz, qx, qy, qz, qw;
+    if (!(ss >> id >> tx >> ty >> tz >> qx >> qy >> qz >> qw)) continue;
+    Eigen::Translation3d t(tx, ty, tz);
+    Eigen::Quaterniond q(qw, qx, qy, qz);
+    poses.push_back(t * q);
+  }
+  return poses;
+}
+
+bool LoadRawMask(const std::string& path, int w, int h,
+                 vacancy::Image1b* img) {
+  img->Init(w, h);
+  std::ifstream ifs(path, std::ios::binary);
+  if (!ifs) return false;
+  ifs.read(reinterpret_cast<char*>(img->data_ptr()->data()),
+           static_cast<std::streamsize>(w) * h);
+  return static_cast<bool>(ifs);
+}
+
+void DumpRawF32(const std::string& path, const vacancy::Image1f& img) {
+  std::ofstream ofs(path, std::ios::binary);
+  ofs.write(reinterpret_cast<const char*>(img.data().data()),
+            static_cast<std::streamsize>(img.data().size() * sizeof(float)));
+}
+
+void RunMode(const std::string& data_dir, const std::string& out_dir,
+             const std::string& tag, vacancy::VoxelUpdate update,
+             bool use_truncation) {
+  auto poses = LoadTum(data_dir + "/tumpose.txt");
+
+  vacancy::VoxelCarverOption option;
+  // exact examples.cc:87-102 configuration (bbox + 20mm pad, 10mm voxels)
+  option.bb_min = Eigen::Vector3f(-250.0f - 20.0f, -344.586151f - 20.0f,
+                                  -129.982697f - 20.0f);
+  option.bb_max =
+      Eigen::Vector3f(250.0f + 20.0f, 150.542343f + 20.0f, 257.329224f + 20.0f);
+  option.resolution = 10.0f;
+  option.update_option.voxel_update = update;
+  option.update_option.use_truncation = use_truncation;
+
+  vacancy::VoxelCarver carver;
+  carver.set_option(option);
+  carver.Init();
+
+  int width = 320, height = 240;
+  Eigen::Vector2f principal_point(159.3f, 127.65f);
+  Eigen::Vector2f focal_length(258.65f, 258.25f);
+  vacancy::PinholeCamera camera(width, height, Eigen::Affine3d::Identity(),
+                                principal_point, focal_length);
+
+  for (size_t i = 0; i < poses.size(); i++) {
+    camera.set_c2w(poses[i]);
+    char num[16];
+    std::snprintf(num, sizeof(num), "%05zu", i);
+    vacancy::Image1b silhouette;
+    if (!LoadRawMask(data_dir + "/mask_" + num + ".bin", width, height,
+                     &silhouette)) {
+      std::fprintf(stderr, "failed to load mask %s\n", num);
+      std::exit(1);
+    }
+    vacancy::Image1f sdf;
+    carver.Carve(camera, silhouette, &sdf);
+    DumpRawF32(out_dir + "/sdf2d_" + tag + "_" + num + ".bin", sdf);
+  }
+
+  vacancy::Mesh mesh;
+  carver.ExtractVoxel(&mesh);
+  mesh.WritePly(out_dir + "/voxel_" + tag + ".ply");
+  carver.ExtractIsoSurface(&mesh, 0.0, true);
+  mesh.WritePly(out_dir + "/surface_" + tag + ".ply");
+  carver.ExtractIsoSurface(&mesh, 0.0, false);
+  mesh.WritePly(out_dir + "/surface_nointerp_" + tag + ".ply");
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc != 3) {
+    std::fprintf(stderr, "usage: %s <data_dir_with_raw_masks> <out_dir>\n",
+                 argv[0]);
+    return 1;
+  }
+  const std::string data_dir = argv[1];
+  const std::string out_dir = argv[2];
+  RunMode(data_dir, out_dir, "carve", vacancy::VoxelUpdate::kMax, false);
+  RunMode(data_dir, out_dir, "tsdf", vacancy::VoxelUpdate::kWeightedAverage,
+          true);
+  std::printf("golden artifacts written to %s\n", out_dir.c_str());
+  return 0;
+}

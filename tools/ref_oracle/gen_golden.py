@@ -1,0 +1,114 @@
+"""Build the reference library as an oracle and regenerate golden files.
+
+Compiles the *unmodified* reference sources from /root/reference (out of
+tree, nothing is written there) against the Eigen headers bundled with
+tensorflow, runs tools/ref_oracle/driver.cc on the bunny sequence, and
+packs the outputs into tests/golden/ for the parity suite:
+
+  - bunny_sdf2d.npz      per-view 2D SDF images, carve + tsdf modes
+  - surface_{carve,tsdf}.ply           final marching-cubes meshes
+  - surface_nointerp_{carve,tsdf}.ply  no-interp variants
+  - voxel_{carve,tsdf}.ply             voxel-face meshes
+
+Run: python tools/ref_oracle/gen_golden.py
+"""
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+GOLDEN = os.path.join(REPO, "tests", "golden")
+
+REF_SOURCES = [
+    "log.cc",
+    "camera.cc",
+    "mesh.cc",
+    "image.cc",
+    "voxel_carver.cc",
+    "extract_voxel.cc",
+    "marching_cubes.cc",
+    "marching_cubes_lut.cc",
+]
+
+
+def find_eigen() -> str:
+    for cand in (
+        "/opt/venv/lib/python3.12/site-packages/tensorflow/include",
+        "/usr/include/eigen3",
+    ):
+        if os.path.exists(os.path.join(cand, "Eigen", "Core")):
+            return cand
+    hits = glob.glob(
+        "/root/.cache/uv/archive-v0/*/tensorflow/include/Eigen/Core"
+    )
+    if hits:
+        return os.path.dirname(os.path.dirname(hits[0]))
+    raise RuntimeError("no Eigen headers found")
+
+
+def build(tmp: str) -> str:
+    eigen = find_eigen()
+    exe = os.path.join(tmp, "oracle")
+    srcs = [os.path.join(REFERENCE, "src", "vacancy", s) for s in REF_SOURCES]
+    srcs.append(os.path.join(REPO, "tools", "ref_oracle", "driver.cc"))
+    cmd = [
+        "g++", "-O2", "-std=c++14", "-fopenmp",
+        f"-I{REFERENCE}/include", f"-I{REFERENCE}/src", f"-I{eigen}",
+        *srcs, "-o", exe,
+    ]
+    subprocess.run(cmd, check=True)
+    return exe
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from vacancy_tpu.io import load_mask
+
+    os.makedirs(GOLDEN, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = build(tmp)
+
+        # raw masks for the stb-free driver
+        data = os.path.join(tmp, "data")
+        os.makedirs(data)
+        shutil.copy(os.path.join(REFERENCE, "data", "tumpose.txt"), data)
+        for i in range(6):
+            m = load_mask(
+                os.path.join(REFERENCE, "data", f"mask_{i:05d}.png")
+            )
+            m.astype(np.uint8).tofile(
+                os.path.join(data, f"mask_{i:05d}.bin")
+            )
+
+        out = os.path.join(tmp, "out")
+        os.makedirs(out)
+        subprocess.run([exe, data, out], check=True)
+
+        sdf2d = {}
+        for tag in ("carve", "tsdf"):
+            for i in range(6):
+                raw = np.fromfile(
+                    os.path.join(out, f"sdf2d_{tag}_{i:05d}.bin"),
+                    dtype=np.float32,
+                ).reshape(240, 320)
+                sdf2d[f"{tag}_{i}"] = raw
+            for name in (
+                f"surface_{tag}.ply",
+                f"surface_nointerp_{tag}.ply",
+                f"voxel_{tag}.ply",
+            ):
+                shutil.copy(os.path.join(out, name), GOLDEN)
+        np.savez_compressed(os.path.join(GOLDEN, "bunny_sdf2d.npz"), **sdf2d)
+    print(f"golden files written to {GOLDEN}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

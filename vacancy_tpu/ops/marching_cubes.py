@@ -20,6 +20,15 @@ center to its +axis neighbor), so
 
 The emitted mesh is welded by construction and bit-deterministic across
 shardings.
+
+TPU memory-layout note: XLA pads the two minormost dims of every array to
+an (8, 128) tile, so materializing anything shaped ``[..., 12]``,
+``[..., 5, 3]`` or ``[N, 3]`` multiplies its footprint by 10-340x (a
+256^3 grid's per-cube triangle tensor would be ~60 GB). Every
+intermediate here is therefore either a full-grid-shaped array (minor
+dims = grid dims) or a flat 1-D vector; small per-cube axes (corner,
+edge, triangle slot, xyz component) are unrolled Python loops and the
+12-way edge-id pick is a ``lax.select_n``.
 """
 
 from __future__ import annotations
@@ -95,10 +104,12 @@ def marching_cubes_dense(
 ):
     """Run marching cubes over the full grid on device.
 
-    Returns (vertices f32[vertex_capacity, 3], n_vertices i32,
-    faces i32[face_capacity, 3], n_faces i32). Entries past the counts are
-    zero. If a count exceeds its capacity the caller must re-run with a
-    larger capacity (see `extract_mesh`).
+    Returns ``((vx, vy, vz), n_vertices, (fa, fb, fc), n_faces)`` where
+    the vertex position components are f32[vertex_capacity] and the
+    per-face vertex ids are i32[face_capacity] -- component-separated so
+    no [N, 3] array (which XLA would tile-pad 42x) ever exists on device.
+    Entries past the counts are zero. If a count exceeds its capacity the
+    caller must re-run with a larger capacity (see `extract_mesh`).
     """
     sdf = state.sdf
     un = state.update_num
@@ -124,6 +135,20 @@ def marching_cubes_dense(
         jnp.asarray(grid.axis_centers(a)) for a in range(3)
     ]  # cx_, cy_, cz_
 
+    cube_valid_pad = jnp.pad(cube_valid, ((1, 1), (1, 1), (1, 1)))
+
+    def _adjacent_cube(axis: int, a_: int, b_: int) -> jax.Array:
+        """Validity of one of the 4 cubes adjacent to each `axis`-edge,
+        as a bool[nz, ny, nx] view aligned with edge owner voxels.
+
+        For an x-edge the cubes vary over (z, y) = owner + (a_-1, b_-1);
+        y-edge over (z, x); z-edge over (y, x)."""
+        if axis == 0:
+            return cube_valid_pad[a_ : a_ + nz, b_ : b_ + ny, 1 : 1 + nx]
+        if axis == 1:
+            return cube_valid_pad[a_ : a_ + nz, 1 : 1 + ny, b_ : b_ + nx]
+        return cube_valid_pad[1 : 1 + nz, a_ : a_ + ny, b_ : b_ + nx]
+
     def axis_edges(axis: int):
         """straddle flag, interpolated position [3], per owner voxel.
 
@@ -146,17 +171,53 @@ def marching_cubes_dense(
         shape[dim] = s0.shape[dim]
         p0 = c_axis[:-1].reshape(shape)
         p1 = c_axis[1:].reshape(shape)
-        pvar = _edge_vertex_interp(s0, s1, p0, p1, iso_level, linear_interp)
-        pvar = jnp.broadcast_to(pvar, s0.shape)
+        if linear_interp:
+            pvar = _edge_vertex_interp(
+                s0, s1, p0, p1, iso_level, linear_interp
+            )
+            pvar = jnp.broadcast_to(pvar, s0.shape)
+        else:
+            # No-interp parity (marching_cubes.cc:49-57 + the dedup map):
+            # the reference stores v1.pos from whichever cube FIRST
+            # references the edge in (z, y, x) scan order, and the edge's
+            # role in that cube fixes which end v1 is: x-edges see roles
+            # (upper, lower, upper, lower) over their 4 adjacent cubes in
+            # scan order, y-edges (lower, upper, lower, upper), z-edges
+            # always lower (edges 8-11 all point +z from v1).
+            if axis == 2:
+                use_upper = None
+            else:
+                c = [
+                    _adjacent_cube(axis, a_, b_)[
+                        tuple(
+                            slice(None, -1) if d == dim else slice(None)
+                            for d in (0, 1, 2)
+                        )
+                    ]
+                    for a_, b_ in ((0, 0), (0, 1), (1, 0), (1, 1))
+                ]
+                if axis == 0:
+                    # first valid in scan order has role U,L,U,L
+                    use_upper = c[0] | (~c[0] & ~c[1] & c[2])
+                else:
+                    # roles L,U,L,U
+                    use_upper = (~c[0] & c[1]) | (
+                        ~c[0] & ~c[1] & ~c[2] & c[3]
+                    )
+            if use_upper is None:
+                pvar = jnp.broadcast_to(p0, s0.shape)
+            else:
+                pvar = jnp.where(
+                    use_upper,
+                    jnp.broadcast_to(p1, s0.shape),
+                    jnp.broadcast_to(p0, s0.shape),
+                )
 
         straddle = jnp.pad(straddle, pad)
         pvar = jnp.pad(pvar, pad)
         return straddle, pvar
 
     straddles, pvars = zip(*(axis_edges(a) for a in range(3)))
-
-    # an edge gets a vertex iff it straddles AND >= 1 adjacent cube is valid
-    cube_valid_pad = jnp.pad(cube_valid, ((1, 1), (1, 1), (1, 1)))
 
     def adjacent_valid(axis: int) -> jax.Array:
         """OR of cube_valid over the (up to) 4 cubes sharing each edge.
@@ -176,74 +237,85 @@ def marching_cubes_dense(
             out |= blk
         return out
 
-    vflags = []
-    vpos = []
-    for a in range(3):
-        flag = straddles[a] & adjacent_valid(a)
-        vflags.append(flag)
-        # full 3D position: the two fixed coords come from the owner voxel
-        px = jnp.broadcast_to(
-            centers[0].reshape(1, 1, nx), (nz, ny, nx)
-        )
-        py = jnp.broadcast_to(centers[1].reshape(1, ny, 1), (nz, ny, nx))
-        pz = jnp.broadcast_to(centers[2].reshape(nz, 1, 1), (nz, ny, nx))
-        coords = [px, py, pz]
-        coords[a] = pvars[a]
-        vpos.append(jnp.stack(coords, axis=-1))
+    # full-grid broadcasts of the fixed owner-voxel coordinates
+    px = jnp.broadcast_to(centers[0].reshape(1, 1, nx), (nz, ny, nx))
+    py = jnp.broadcast_to(centers[1].reshape(1, ny, 1), (nz, ny, nx))
+    pz = jnp.broadcast_to(centers[2].reshape(nz, 1, 1), (nz, ny, nx))
+    fixed = (px, py, pz)
 
-    flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
-    pos_flat = jnp.concatenate([p.reshape(-1, 3) for p in vpos])
+    vflags = []
+    vpos_comp = []  # [axis][component] -> f32[nz, ny, nx]
+    for a in range(3):
+        vflags.append(straddles[a] & adjacent_valid(a))
+        comps = list(fixed)
+        comps[a] = pvars[a]
+        vpos_comp.append(comps)
 
     # --- global vertex ids: cumsum over (axis, z, y, x) order ---
+    flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
     vid_flat = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
     n_vertices = jnp.sum(flags_flat.astype(jnp.int32))
 
-    # scatter-compact vertices
+    # scatter-compact vertex positions, one component at a time
     scatter_idx = jnp.where(flags_flat, vid_flat, vertex_capacity)
-    vertices = (
-        jnp.zeros((vertex_capacity, 3), jnp.float32)
+    vcomps = tuple(
+        jnp.zeros((vertex_capacity,), jnp.float32)
         .at[scatter_idx]
-        .set(pos_flat, mode="drop")
+        .set(
+            jnp.concatenate(
+                [vpos_comp[a][c].reshape(-1) for a in range(3)]
+            ),
+            mode="drop",
+        )
+        for c in range(3)
     )
 
     vid = vid_flat.reshape(3, nz, ny, nx)
 
     # --- per-cube triangle emission via statically shifted id views ---
-    edge_vids = []
+    edge_vids = []  # 12 x i32[cz, cy, cx], kept as separate arrays
     for e in range(12):
         a = int(EDGE_AXIS[e])
         ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
-        edge_vids.append(
-            vid[a][oz : oz + cz, oy : oy + cy, ox : ox + cx]
-        )
-    edge_vids = jnp.stack(edge_vids, axis=-1)  # [cz, cy, cx, 12]
+        edge_vids.append(vid[a][oz : oz + cz, oy : oy + cy, ox : ox + cx])
 
-    tri_tab = jnp.asarray(TRI_TABLE)  # [256, 16]
-    te = tri_tab[case]  # [cz, cy, cx, 16] -- small-table gather
-    te = te[..., :15].reshape(cz, cy, cx, 5, 3)
-    tri_edge_valid = te[..., 0] >= 0  # [cz, cy, cx, 5]
-    tri_valid = tri_edge_valid & cube_valid[..., None]
+    # tri table with the slot axis LEADING: te_t[s] is i32[cz, cy, cx]
+    tri_tab_t = jnp.asarray(np.ascontiguousarray(TRI_TABLE[:, :15].T))
+    te_t = tri_tab_t[:, case]  # [15, cz, cy, cx]
 
-    # reversed winding exactly like the reference (marching_cubes.cc:199-218)
-    te_rev = te[..., ::-1]
-    gathered = jnp.take_along_axis(
-        edge_vids[..., None, :],
-        jnp.clip(te_rev, 0, 11),
-        axis=-1,
-    )  # [cz, cy, cx, 5, 3]
+    # triangle slot t is valid iff its first table entry is set and the
+    # cube is valid (marching_cubes.cc:88-112,199)
+    tri_valid = [
+        (te_t[3 * t] >= 0) & cube_valid for t in range(5)
+    ]  # 5 x bool[cz, cy, cx]
 
-    tri_valid_flat = tri_valid.reshape(-1)
-    tri_vids_flat = gathered.reshape(-1, 3)
-    tid = jnp.cumsum(tri_valid_flat.astype(jnp.int32)) - 1
-    n_faces = jnp.sum(tri_valid_flat.astype(jnp.int32))
-    fscatter = jnp.where(tri_valid_flat, tid, face_capacity)
-    faces = (
-        jnp.zeros((face_capacity, 3), jnp.int32)
-        .at[fscatter]
-        .set(tri_vids_flat, mode="drop")
-    )
+    # global face ids in cube-major-then-slot order without materializing
+    # a [..., 5] array: base = exclusive cumsum of per-cube counts, plus
+    # the within-cube prefix over earlier slots.
+    per_cube = tri_valid[0].astype(jnp.int32)
+    for t in range(1, 5):
+        per_cube = per_cube + tri_valid[t]
+    per_cube_flat = per_cube.reshape(-1)
+    base = jnp.cumsum(per_cube_flat) - per_cube_flat  # exclusive
+    n_faces = base[-1] + per_cube_flat[-1]
 
-    return vertices, n_vertices, faces, n_faces
+    fcomps = [jnp.zeros((face_capacity,), jnp.int32) for _ in range(3)]
+    within = jnp.zeros((cz, cy, cx), jnp.int32)
+    for t in range(5):
+        tid = base + (within.reshape(-1))
+        fscatter = jnp.where(tri_valid[t].reshape(-1), tid, face_capacity)
+        for j in range(3):
+            # reversed winding exactly like the reference
+            # (marching_cubes.cc:199-218): vertex j reads table slot
+            # 3t + (2 - j).
+            e = jnp.clip(te_t[3 * t + (2 - j)], 0, 11)
+            vid_tj = jax.lax.select_n(e, *edge_vids)
+            fcomps[j] = (
+                fcomps[j].at[fscatter].set(vid_tj.reshape(-1), mode="drop")
+            )
+        within = within + tri_valid[t]
+
+    return vcomps, n_vertices, tuple(fcomps), n_faces
 
 
 def extract_mesh(
@@ -265,7 +337,7 @@ def extract_mesh(
     vcap = int(capacity_hint)
     fcap = int(2 * capacity_hint)
     for _ in range(8):
-        verts, nv, faces, nf = marching_cubes_dense(
+        vcomps, nv, fcomps, nf = marching_cubes_dense(
             state,
             grid,
             iso_level=float(iso_level),
@@ -276,10 +348,14 @@ def extract_mesh(
         nv = int(nv)
         nf = int(nf)
         if nv <= vcap and nf <= fcap:
-            return Mesh(
-                vertices=np.asarray(verts)[:nv],
-                faces=np.asarray(faces)[:nf],
+            # assemble [N, 3] on host -- device arrays stay 1-D (tiling)
+            verts = np.stack(
+                [np.asarray(c)[:nv] for c in vcomps], axis=-1
             )
+            faces = np.stack(
+                [np.asarray(c)[:nf] for c in fcomps], axis=-1
+            )
+            return Mesh(vertices=verts, faces=faces)
         if nv > vcap:
             vcap = max(2 * vcap, nv)
         if nf > fcap:

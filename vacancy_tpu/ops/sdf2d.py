@@ -132,6 +132,12 @@ def make_signed_distance_field(
         norm = jnp.where(
             abs_max > np.finfo(np.float32).tiny, 1.0 / abs_max, 1.0
         )
+        # The reference rounds 1/abs_max to f32 once and then multiplies
+        # (voxel_carver.cc:214-219). Without this barrier XLA's
+        # excess-precision rewrites can fuse the two into a higher-
+        # precision divide, flipping pixels that sit exactly on the
+        # truncation boundary (-band) by one ulp.
+        norm = jax.lax.optimization_barrier(norm)
         sdf = jnp.where(in_roi, sdf * norm, sdf)
 
     if use_truncation:
