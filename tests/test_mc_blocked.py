@@ -1,0 +1,73 @@
+"""Blocked (z-slab) marching cubes must equal the dense driver exactly.
+
+The blocked driver (ops/marching_cubes.py:extract_mesh_blocked) exists so
+512^3+ grids fit single-chip HBM; it partitions edge owners and cube
+bases by z-slab and welds across slabs by global edge key. Identical
+output -- same vertex order, same face order -- is the invariant.
+"""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.marching_cubes import (
+    extract_mesh,
+    extract_mesh_blocked,
+    marching_cubes_dense,
+)
+
+
+def _random_state(seed, shape=(13, 11, 9)):
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx * 0.5 + 0.1, ny * 0.5 + 0.1, nz * 0.5 + 0.1),
+        resolution=0.5,
+    )
+    assert grid.shape_zyx == shape
+    sdf = rng.normal(size=shape).astype(np.float32)
+    un = (rng.random(shape) > 0.15).astype(np.int32)
+    # sprinkle invalid voxels like an uncarved region
+    inv = rng.random(shape) > 0.9
+    sdf[inv] = np.float32(np.finfo(np.float32).min)
+    state = VoxelGridState(sdf=sdf, update_num=un)
+    return grid, state
+
+
+@pytest.mark.parametrize("linear_interp", [True, False])
+@pytest.mark.parametrize("slab_nz", [3, 4, 7])
+def test_blocked_equals_dense(linear_interp, slab_nz):
+    grid, state = _random_state(0)
+    dense = extract_mesh(state, grid, linear_interp=linear_interp)
+    blocked = extract_mesh_blocked(
+        state, grid, linear_interp=linear_interp, slab_nz=slab_nz
+    )
+    assert dense.num_vertices > 0
+    np.testing.assert_array_equal(blocked.vertices, dense.vertices)
+    np.testing.assert_array_equal(blocked.faces, dense.faces)
+
+
+def test_blocked_equals_dense_multiple_seeds():
+    for seed in range(1, 4):
+        grid, state = _random_state(seed, shape=(17, 8, 10))
+        dense = extract_mesh(state, grid)
+        blocked = extract_mesh_blocked(state, grid, slab_nz=5)
+        np.testing.assert_array_equal(blocked.vertices, dense.vertices)
+        np.testing.assert_array_equal(blocked.faces, dense.faces)
+
+
+def test_blocked_empty_grid():
+    grid, state = _random_state(5)
+    empty = VoxelGridState.create(grid)
+    blocked = extract_mesh_blocked(empty, grid, slab_nz=4)
+    assert blocked.num_vertices == 0
+    assert blocked.num_faces == 0
+
+
+def test_blocked_falls_back_to_dense_for_thin_grids():
+    grid, state = _random_state(6, shape=(5, 9, 8))
+    dense = extract_mesh(state, grid)
+    blocked = extract_mesh_blocked(state, grid, slab_nz=16)
+    np.testing.assert_array_equal(blocked.vertices, dense.vertices)
+    np.testing.assert_array_equal(blocked.faces, dense.faces)

@@ -21,20 +21,33 @@ center to its +axis neighbor), so
 The emitted mesh is welded by construction and bit-deterministic across
 shardings.
 
+Two drivers share the same geometry core:
+
+  * ``marching_cubes_dense`` -- whole grid in one device program; right
+    up to ~256^3 (a few GB of grid-shaped temporaries).
+  * ``marching_cubes_slab`` / ``extract_mesh_blocked`` -- a host loop
+    over z-slabs for 512^3+ single-chip grids. Each slab owns the edges
+    whose owner voxel falls in its z-range and the cubes based there;
+    faces reference vertices by *global edge key* ``(axis, owner linear
+    id)``, resolved on host with a per-axis searchsorted. The assembled
+    mesh is identical (same vertex/face order) to the dense driver's.
+
 TPU memory-layout note: XLA pads the two minormost dims of every array to
 an (8, 128) tile, so materializing anything shaped ``[..., 12]``,
 ``[..., 5, 3]`` or ``[N, 3]`` multiplies its footprint by 10-340x (a
 256^3 grid's per-cube triangle tensor would be ~60 GB). Every
 intermediate here is therefore either a full-grid-shaped array (minor
 dims = grid dims) or a flat 1-D vector; small per-cube axes (corner,
-edge, triangle slot, xyz component) are unrolled Python loops and the
-12-way edge-id pick is a ``lax.select_n``.
+edge, triangle slot, xyz component) are unrolled Python loops, the
+12-way edge-id pick is a ``lax.select_n``, and the triangle table is
+nibble-packed into two uint32 words per case so its gather output stays
+grid-shaped (a [N, 15] gather would tile-pad the 15-lane axis to 128).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +60,8 @@ from .mc_tables import (
     CORNER_OFFSETS,
     EDGE_AXIS,
     EDGE_OWNER,
-    TRI_TABLE,
+    TRI_PACKED_HI,
+    TRI_PACKED_LO,
 )
 
 _SNAP_EPS = 1e-5  # reference marching_cubes.cc:28-39
@@ -69,13 +83,10 @@ def _edge_vertex_interp(
     p0: jax.Array,
     p1: jax.Array,
     iso: float,
-    linear_interp: bool,
 ) -> jax.Array:
     """1D vertex interpolation along a grid edge with the reference's
     epsilon snapping (marching_cubes.cc:25-57). Positions differ only in
     the edge-axis coordinate, so only that scalar is interpolated."""
-    if not linear_interp:
-        return p0
     iso = jnp.float32(iso)
     denom = s1 - s0
     mu = jnp.where(jnp.abs(denom) < _SNAP_EPS, 0.0, (iso - s0) / denom)
@@ -84,37 +95,19 @@ def _edge_vertex_interp(
     return p0 + t * (p1 - p0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "grid",
-        "iso_level",
-        "linear_interp",
-        "vertex_capacity",
-        "face_capacity",
-    ),
-)
-def marching_cubes_dense(
-    state: VoxelGridState,
-    grid: GridSpec,
-    iso_level: float = 0.0,
-    linear_interp: bool = True,
-    vertex_capacity: int = 1 << 18,
-    face_capacity: int = 1 << 19,
+def _mc_geometry(
+    sdf: jax.Array,  # f32[nz, ny, nx] (a slab may include halo planes)
+    un: jax.Array,  # i32[nz, ny, nx]
+    centers: Tuple[jax.Array, jax.Array, jax.Array],  # cx[nx], cy[ny], cz[nz]
+    iso_level: float,
+    linear_interp: bool,
 ):
-    """Run marching cubes over the full grid on device.
+    """Shared geometry core: cube validity/case plus per-edge vertex data.
 
-    Returns ``((vx, vy, vz), n_vertices, (fa, fb, fc), n_faces)`` where
-    the vertex position components are f32[vertex_capacity] and the
-    per-face vertex ids are i32[face_capacity] -- component-separated so
-    no [N, 3] array (which XLA would tile-pad 42x) ever exists on device.
-    Entries past the counts are zero. If a count exceeds its capacity the
-    caller must re-run with a larger capacity (see `extract_mesh`).
+    Returns (cube_valid bool[cz,cy,cx], packed_lo/hi u32[cz,cy,cx],
+    vflags 3 x bool[nz,ny,nx], vpos_comp [axis][xyz] -> f32[nz,ny,nx]).
     """
-    sdf = state.sdf
-    un = state.update_num
     nz, ny, nx = sdf.shape
-    cz, cy, cx = nz - 1, ny - 1, nx - 1  # cube lattice
 
     # --- cube validity (marching_cubes.cc:88-112) ---
     corner_sdf = [_corner_view(sdf, c) for c in range(8)]
@@ -125,15 +118,14 @@ def marching_cubes_dense(
     cube_valid = all_valid & center_updated
 
     # --- case index (marching_cubes.cc:121-128) ---
-    case = jnp.zeros((cz, cy, cx), jnp.int32)
+    case = jnp.zeros(cube_valid.shape, jnp.int32)
     for c in range(8):
         case |= (corner_sdf[c] < iso_level).astype(jnp.int32) << c
 
-    # --- canonical edge flags + positions ---
-    # axis order here: 0=x, 1=y, 2=z; owner voxel at (z, y, x).
-    centers = [
-        jnp.asarray(grid.axis_centers(a)) for a in range(3)
-    ]  # cx_, cy_, cz_
+    # Nibble-packed tri table: two grid-shaped uint32 gathers (see module
+    # docstring on why a [N, 15] table-row gather is catastrophic).
+    packed_lo = jnp.asarray(TRI_PACKED_LO)[case]
+    packed_hi = jnp.asarray(TRI_PACKED_HI)[case]
 
     cube_valid_pad = jnp.pad(cube_valid, ((1, 1), (1, 1), (1, 1)))
 
@@ -149,8 +141,15 @@ def marching_cubes_dense(
             return cube_valid_pad[a_ : a_ + nz, 1 : 1 + ny, b_ : b_ + nx]
         return cube_valid_pad[1 : 1 + nz, a_ : a_ + ny, b_ : b_ + nx]
 
+    def adjacent_valid(axis: int) -> jax.Array:
+        """OR of cube_valid over the (up to) 4 cubes sharing each edge."""
+        out = _adjacent_cube(axis, 0, 0)
+        for a_, b_ in ((0, 1), (1, 0), (1, 1)):
+            out = out | _adjacent_cube(axis, a_, b_)
+        return out
+
     def axis_edges(axis: int):
-        """straddle flag, interpolated position [3], per owner voxel.
+        """(straddle flag, vertex position along `axis`) per owner voxel.
 
         Shapes are the full voxel lattice with the last slice along `axis`
         unused (flag False there)."""
@@ -169,12 +168,12 @@ def marching_cubes_dense(
         shape = [1, 1, 1]
         dim = {0: 2, 1: 1, 2: 0}[axis]  # array dim of this axis
         shape[dim] = s0.shape[dim]
-        p0 = c_axis[:-1].reshape(shape)
-        p1 = c_axis[1:].reshape(shape)
+        p0 = jax.lax.slice_in_dim(c_axis, 0, c_axis.shape[0] - 1).reshape(
+            shape
+        )
+        p1 = jax.lax.slice_in_dim(c_axis, 1, c_axis.shape[0]).reshape(shape)
         if linear_interp:
-            pvar = _edge_vertex_interp(
-                s0, s1, p0, p1, iso_level, linear_interp
-            )
+            pvar = _edge_vertex_interp(s0, s1, p0, p1, iso_level)
             pvar = jnp.broadcast_to(pvar, s0.shape)
         else:
             # No-interp parity (marching_cubes.cc:49-57 + the dedup map):
@@ -219,24 +218,6 @@ def marching_cubes_dense(
 
     straddles, pvars = zip(*(axis_edges(a) for a in range(3)))
 
-    def adjacent_valid(axis: int) -> jax.Array:
-        """OR of cube_valid over the (up to) 4 cubes sharing each edge.
-
-        For an x-edge at owner voxel (z, y, x): cubes with base corner
-        (z-1..z, y-1..y, x) -> in padded cube coords, a 2x2 max-pool over
-        the two non-edge axes."""
-        out = jnp.zeros((nz, ny, nx), jnp.bool_)
-        shifts = [(0, 0), (0, 1), (1, 0), (1, 1)]
-        for a_, b_ in shifts:
-            if axis == 0:  # vary (z, y), cube x-base == owner x
-                blk = cube_valid_pad[a_ : a_ + nz, b_ : b_ + ny, 1 : 1 + nx]
-            elif axis == 1:  # vary (z, x)
-                blk = cube_valid_pad[a_ : a_ + nz, 1 : 1 + ny, b_ : b_ + nx]
-            else:  # vary (y, x)
-                blk = cube_valid_pad[1 : 1 + nz, a_ : a_ + ny, b_ : b_ + nx]
-            out |= blk
-        return out
-
     # full-grid broadcasts of the fixed owner-voxel coordinates
     px = jnp.broadcast_to(centers[0].reshape(1, 1, nx), (nz, ny, nx))
     py = jnp.broadcast_to(centers[1].reshape(1, ny, 1), (nz, ny, nx))
@@ -251,42 +232,82 @@ def marching_cubes_dense(
         comps[a] = pvars[a]
         vpos_comp.append(comps)
 
+    return cube_valid, packed_lo, packed_hi, vflags, vpos_comp
+
+
+def _te_t(packed_lo: jax.Array, packed_hi: jax.Array, s: int) -> jax.Array:
+    """Unpack tri-table entry s (0..14) for every cube; -1..11."""
+    w = packed_lo if s < 8 else packed_hi
+    nib = (w >> jnp.uint32(4 * (s % 8))) & jnp.uint32(15)
+    return nib.astype(jnp.int32) - 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid",
+        "iso_level",
+        "linear_interp",
+        "vertex_capacity",
+        "face_capacity",
+    ),
+)
+def marching_cubes_dense(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    vertex_capacity: int = 1 << 18,
+    face_capacity: int = 1 << 19,
+):
+    """Run marching cubes over the full grid on device.
+
+    Returns ``((vx, vy, vz), n_vertices, (fa, fb, fc), n_faces)`` where
+    the vertex position components are f32[vertex_capacity] and the
+    per-face vertex ids are i32[face_capacity] -- component-separated so
+    no [N, 3] array (which XLA would tile-pad 42x) ever exists on device.
+    Entries past the counts are zero. If a count exceeds its capacity the
+    caller must re-run with a larger capacity (see `extract_mesh`).
+    """
+    sdf = state.sdf
+    un = state.update_num
+    nz, ny, nx = sdf.shape
+    cz, cy, cx = nz - 1, ny - 1, nx - 1  # cube lattice
+
+    centers = tuple(jnp.asarray(grid.axis_centers(a)) for a in range(3))
+    cube_valid, packed_lo, packed_hi, vflags, vpos_comp = _mc_geometry(
+        sdf, un, centers, iso_level, linear_interp
+    )
+
     # --- global vertex ids: cumsum over (axis, z, y, x) order ---
     flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
     vid_flat = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
     n_vertices = jnp.sum(flags_flat.astype(jnp.int32))
 
-    # scatter-compact vertex positions, one component at a time
+    # Compaction strategy: TPU scatter is a serial ~4-cycle/element loop,
+    # so scatter ONCE per stream (the source index), then fetch every
+    # value with gathers at the (few) compacted positions.
     scatter_idx = jnp.where(flags_flat, vid_flat, vertex_capacity)
-    vcomps = tuple(
-        jnp.zeros((vertex_capacity,), jnp.float32)
+    src_iota = jax.lax.iota(jnp.int32, flags_flat.shape[0])
+    vsrc = (
+        jnp.zeros((vertex_capacity,), jnp.int32)
         .at[scatter_idx]
-        .set(
-            jnp.concatenate(
-                [vpos_comp[a][c].reshape(-1) for a in range(3)]
-            ),
-            mode="drop",
-        )
+        .set(src_iota, mode="drop")
+    )
+    vcomps = tuple(
+        jnp.concatenate([vpos_comp[a][c].reshape(-1) for a in range(3)])[
+            vsrc
+        ]
         for c in range(3)
     )
 
     vid = vid_flat.reshape(3, nz, ny, nx)
 
-    # --- per-cube triangle emission via statically shifted id views ---
-    edge_vids = []  # 12 x i32[cz, cy, cx], kept as separate arrays
-    for e in range(12):
-        a = int(EDGE_AXIS[e])
-        ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
-        edge_vids.append(vid[a][oz : oz + cz, oy : oy + cy, ox : ox + cx])
-
-    # tri table with the slot axis LEADING: te_t[s] is i32[cz, cy, cx]
-    tri_tab_t = jnp.asarray(np.ascontiguousarray(TRI_TABLE[:, :15].T))
-    te_t = tri_tab_t[:, case]  # [15, cz, cy, cx]
-
     # triangle slot t is valid iff its first table entry is set and the
     # cube is valid (marching_cubes.cc:88-112,199)
     tri_valid = [
-        (te_t[3 * t] >= 0) & cube_valid for t in range(5)
+        (_te_t(packed_lo, packed_hi, 3 * t) >= 0) & cube_valid
+        for t in range(5)
     ]  # 5 x bool[cz, cy, cx]
 
     # global face ids in cube-major-then-slot order without materializing
@@ -299,23 +320,323 @@ def marching_cubes_dense(
     base = jnp.cumsum(per_cube_flat) - per_cube_flat  # exclusive
     n_faces = base[-1] + per_cube_flat[-1]
 
-    fcomps = [jnp.zeros((face_capacity,), jnp.int32) for _ in range(3)]
-    within = jnp.zeros((cz, cy, cx), jnp.int32)
+    # one scatter per slot of the packed (cube, slot) source id; vertex
+    # ids for all three corners are then gathered per compacted face.
+    cube_iota = jax.lax.iota(jnp.int32, cz * cy * cx)
+    fsrc = jnp.zeros((face_capacity,), jnp.int32)
+    within = jnp.zeros(cube_valid.shape, jnp.int32)
     for t in range(5):
         tid = base + (within.reshape(-1))
         fscatter = jnp.where(tri_valid[t].reshape(-1), tid, face_capacity)
-        for j in range(3):
-            # reversed winding exactly like the reference
-            # (marching_cubes.cc:199-218): vertex j reads table slot
-            # 3t + (2 - j).
-            e = jnp.clip(te_t[3 * t + (2 - j)], 0, 11)
-            vid_tj = jax.lax.select_n(e, *edge_vids)
-            fcomps[j] = (
-                fcomps[j].at[fscatter].set(vid_tj.reshape(-1), mode="drop")
-            )
+        fsrc = fsrc.at[fscatter].set(cube_iota * 8 + t, mode="drop")
         within = within + tri_valid[t]
 
+    f_cube = fsrc >> 3  # i32[face_capacity]
+    f_slot = fsrc & 7
+    # cube base voxel coords from the cube-lattice flat index
+    f_cz = f_cube // (cy * cx)
+    f_rem = f_cube - f_cz * (cy * cx)
+    f_cy = f_rem // cx
+    f_cx = f_rem - f_cy * cx
+
+    p_lo = packed_lo.reshape(-1)[f_cube]
+    p_hi = packed_hi.reshape(-1)[f_cube]
+    fcomps = []
+    for j in range(3):
+        # reversed winding exactly like the reference
+        # (marching_cubes.cc:199-218): vertex j reads table slot
+        # 3t + (2 - j).
+        s = 3 * f_slot + (2 - j)
+        word = jnp.where(s < 8, p_lo, p_hi)
+        e = (
+            (word >> (4 * (s % 8)).astype(jnp.uint32)) & jnp.uint32(15)
+        ).astype(jnp.int32) - 1
+        e = jnp.clip(e, 0, 11)
+        # edge -> (axis, owner voxel) -> index into the vid volume
+        ax = jnp.zeros(e.shape, jnp.int32)
+        off = jnp.zeros(e.shape, jnp.int32)
+        for ei in range(12):
+            a = int(EDGE_AXIS[ei])
+            ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[ei]])
+            ax = jnp.where(e == ei, a, ax)
+            off = jnp.where(e == ei, oz * (ny * nx) + oy * nx + ox, off)
+        owner = f_cz * (ny * nx) + f_cy * nx + f_cx + off
+        fcomps.append(vid_flat[ax * (nz * ny * nx) + owner])
+
     return vcomps, n_vertices, tuple(fcomps), n_faces
+
+
+# ---------------------------------------------------------------------------
+# z-slab blocked driver (single-chip 512^3+)
+# ---------------------------------------------------------------------------
+
+# static per-edge lookup: owner linear-id offset relative to the cube's
+# base voxel, and the edge's axis. Both resolved per slot with cheap
+# where-sums over 12 scalars (no small trailing dims).
+_EDGE_AX = [int(a) for a in EDGE_AXIS]
+
+
+def _edge_off_zyx(e: int) -> Tuple[int, int, int]:
+    ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
+    return oz, oy, ox
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid",
+        "slab_nz",
+        "iso_level",
+        "linear_interp",
+        "vertex_capacity",
+        "face_capacity",
+    ),
+)
+def marching_cubes_slab(
+    sdf_pad: jax.Array,  # f32[nz+2, ny, nx], INVALID-padded in z
+    un_pad: jax.Array,  # i32[nz+2, ny, nx], 0-padded in z
+    grid: GridSpec,
+    slice_lo: jax.Array,  # i32[] global z of the first owned-candidate plane
+    own_lo: jax.Array,  # i32[] first owned voxel z
+    own_hi: jax.Array,  # i32[] one past last owned voxel z
+    slab_nz: int,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    vertex_capacity: int = 1 << 18,
+    face_capacity: int = 1 << 19,
+):
+    """One z-slab of marching cubes, emitting global edge keys.
+
+    The slab sees voxel planes ``[slice_lo - 1, slice_lo + slab_nz]``
+    (clamped by the caller so the slice is in-range) and *owns* edges
+    whose owner voxel z is in ``[own_lo, own_hi)`` plus cubes based
+    there. Returns, per axis a: vertex count, position components and
+    owner linear ids (compacted in (z, y, x) order); plus face count and
+    per-corner (axis, owner-lin) key components in cube-major order.
+    """
+    nz_g, ny, nx = sdf_pad.shape[0] - 2, sdf_pad.shape[1], sdf_pad.shape[2]
+    s_nz = slab_nz + 2  # local voxel planes including halo
+
+    sl_sdf = jax.lax.dynamic_slice(
+        sdf_pad, (slice_lo, 0, 0), (s_nz, ny, nx)
+    )
+    sl_un = jax.lax.dynamic_slice(un_pad, (slice_lo, 0, 0), (s_nz, ny, nx))
+
+    cz_pad = jnp.pad(jnp.asarray(grid.axis_centers(2)), (1, 1))
+    cz_sl = jax.lax.dynamic_slice(cz_pad, (slice_lo,), (s_nz,))
+    centers = (
+        jnp.asarray(grid.axis_centers(0)),
+        jnp.asarray(grid.axis_centers(1)),
+        cz_sl,
+    )
+
+    cube_valid, packed_lo, packed_hi, vflags, vpos_comp = _mc_geometry(
+        sl_sdf, sl_un, centers, iso_level, linear_interp
+    )
+
+    # global z of local voxel plane i: slice_lo - 1 + i
+    gz = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_nz, ny, nx), 0)
+        + slice_lo
+        - 1
+    )
+    owned_vox = (gz >= own_lo) & (gz < own_hi)
+
+    # --- vertices: per-axis compaction with global owner lin ids ---
+    lin = (
+        gz * (ny * nx)
+        + jax.lax.broadcasted_iota(jnp.int32, (s_nz, ny, nx), 1) * nx
+        + jax.lax.broadcasted_iota(jnp.int32, (s_nz, ny, nx), 2)
+    )
+
+    # one index-scatter per axis, values fetched by gather (see the dense
+    # kernel's compaction note: TPU scatter is serial per element)
+    v_counts = []
+    v_pos = []
+    v_lin = []
+    src_iota = jax.lax.iota(jnp.int32, s_nz * ny * nx)
+    lin_flat = lin.reshape(-1)
+    for a in range(3):
+        flag = (vflags[a] & owned_vox).reshape(-1)
+        local_id = jnp.cumsum(flag.astype(jnp.int32)) - 1
+        v_counts.append(local_id[-1] + 1)
+        sc = jnp.where(flag, local_id, vertex_capacity)
+        vsrc = (
+            jnp.zeros((vertex_capacity,), jnp.int32)
+            .at[sc]
+            .set(src_iota, mode="drop")
+        )
+        v_pos.append(
+            tuple(vpos_comp[a][c].reshape(-1)[vsrc] for c in range(3))
+        )
+        v_lin.append(lin_flat[vsrc])
+
+    # --- faces: emit (axis, owner lin) keys per corner ---
+    czl, cyl, cxl = s_nz - 1, ny - 1, nx - 1
+    cube_gz = gz[:-1, :-1, :-1]
+    cube_lin = lin[:-1, :-1, :-1]
+    owned_cube = (cube_gz >= own_lo) & (cube_gz < own_hi)
+
+    tri_valid = [
+        (_te_t(packed_lo, packed_hi, 3 * t) >= 0) & cube_valid & owned_cube
+        for t in range(5)
+    ]
+    per_cube = tri_valid[0].astype(jnp.int32)
+    for t in range(1, 5):
+        per_cube = per_cube + tri_valid[t]
+    per_cube_flat = per_cube.reshape(-1)
+    base = jnp.cumsum(per_cube_flat) - per_cube_flat
+    n_faces = base[-1] + per_cube_flat[-1]
+
+    cube_iota = jax.lax.iota(jnp.int32, czl * cyl * cxl)
+    fsrc = jnp.zeros((face_capacity,), jnp.int32)
+    within = jnp.zeros(cube_valid.shape, jnp.int32)
+    for t in range(5):
+        tid = base + within.reshape(-1)
+        fscatter = jnp.where(tri_valid[t].reshape(-1), tid, face_capacity)
+        fsrc = fsrc.at[fscatter].set(cube_iota * 8 + t, mode="drop")
+        within = within + tri_valid[t]
+
+    f_cube = fsrc >> 3
+    f_slot = fsrc & 7
+    p_lo = packed_lo.reshape(-1)[f_cube]
+    p_hi = packed_hi.reshape(-1)[f_cube]
+    cube_lin_flat = cube_lin.reshape(-1)[f_cube]
+    f_ax = []
+    f_lin = []
+    for j in range(3):
+        s = 3 * f_slot + (2 - j)
+        word = jnp.where(s < 8, p_lo, p_hi)
+        e = (
+            (word >> (4 * (s % 8)).astype(jnp.uint32)) & jnp.uint32(15)
+        ).astype(jnp.int32) - 1
+        e = jnp.clip(e, 0, 11)
+        ax = jnp.zeros(e.shape, jnp.int32)
+        off = jnp.zeros(e.shape, jnp.int32)
+        for ei in range(12):
+            oz, oy, ox = _edge_off_zyx(ei)
+            ax = jnp.where(e == ei, _EDGE_AX[ei], ax)
+            off = jnp.where(e == ei, oz * (ny * nx) + oy * nx + ox, off)
+        f_ax.append(ax)
+        f_lin.append(cube_lin_flat + off)
+
+    return (
+        tuple(v_counts),
+        tuple(v_pos),
+        tuple(v_lin),
+        n_faces,
+        tuple(f_ax),
+        tuple(f_lin),
+    )
+
+
+def extract_mesh_blocked(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    slab_nz: int = 48,
+    capacity_hint: Optional[int] = None,
+) -> Mesh:
+    """Marching cubes via a host loop over z-slabs (512^3+ single-chip).
+
+    Produces the identical mesh (same vertex and face order) as
+    ``extract_mesh``: slab vertex blocks concatenate per axis into the
+    global (axis, z, y, x) order, and face edge-keys resolve to vertex
+    ids with a per-axis searchsorted over the (sorted by construction)
+    owner-lin arrays.
+    """
+    nz, ny, nx = state.sdf.shape
+    if nz <= slab_nz + 2:
+        return extract_mesh(
+            state, grid, iso_level, linear_interp, capacity_hint
+        )
+    if capacity_hint is None:
+        est = int(6 * max(nx * ny, slab_nz * max(nx, ny)))
+        capacity_hint = max(1 << 12, est)
+    vcap = int(capacity_hint)
+    fcap = int(2 * capacity_hint)
+
+    sdf_pad = jnp.pad(
+        state.sdf, ((1, 1), (0, 0), (0, 0)), constant_values=INVALID_SDF
+    )
+    un_pad = jnp.pad(state.update_num, ((1, 1), (0, 0), (0, 0)))
+
+    pos_parts = [[], [], []]  # per axis: list of [n_k, 3] arrays
+    lin_parts = [[], [], []]
+    face_parts = []  # list of (ax [m,3], lin [m,3])
+
+    n_slabs = (nz + slab_nz - 1) // slab_nz
+    for k in range(n_slabs):
+        own_lo = k * slab_nz
+        own_hi = min(own_lo + slab_nz, nz)
+        # keep the slice in-range; ownership masks handle the overlap
+        slice_lo = min(own_lo, nz - slab_nz)
+        for _ in range(8):
+            vc, vp, vl, nf, fa, fl = marching_cubes_slab(
+                sdf_pad,
+                un_pad,
+                grid,
+                jnp.int32(slice_lo),
+                jnp.int32(own_lo),
+                jnp.int32(own_hi),
+                slab_nz=slab_nz,
+                iso_level=float(iso_level),
+                linear_interp=bool(linear_interp),
+                vertex_capacity=vcap,
+                face_capacity=fcap,
+            )
+            counts = [int(c) for c in vc]
+            nf = int(nf)
+            if max(counts) <= vcap and nf <= fcap:
+                break
+            vcap = max(2 * vcap, max(counts))
+            fcap = max(2 * fcap, nf)
+        else:
+            raise RuntimeError("marching cubes slab capacity loop failed")
+        # slice on DEVICE before np.asarray so only real data crosses
+        # the host link (capacity buffers are heavily oversized)
+        for a in range(3):
+            n_k = counts[a]
+            pos_parts[a].append(
+                np.stack([np.asarray(c[:n_k]) for c in vp[a]], axis=-1)
+            )
+            lin_parts[a].append(np.asarray(vl[a][:n_k]))
+        face_parts.append(
+            (
+                np.stack([np.asarray(c[:nf]) for c in fa], axis=-1),
+                np.stack([np.asarray(c[:nf]) for c in fl], axis=-1),
+            )
+        )
+
+    # assemble global vertex order: axis-major, then slab (z) ascending
+    axis_lin = [
+        np.concatenate(lin_parts[a])
+        if lin_parts[a]
+        else np.zeros((0,), np.int32)
+        for a in range(3)
+    ]
+    axis_pos = [
+        np.concatenate(pos_parts[a])
+        if pos_parts[a]
+        else np.zeros((0, 3), np.float32)
+        for a in range(3)
+    ]
+    bases = np.cumsum([0, len(axis_lin[0]), len(axis_lin[1])])
+    verts = np.concatenate(axis_pos) if axis_pos else np.zeros((0, 3))
+
+    f_ax = np.concatenate([p[0] for p in face_parts])
+    f_lin = np.concatenate([p[1] for p in face_parts])
+    faces = np.zeros(f_ax.shape, np.int32)
+    for a in range(3):
+        sel = f_ax == a
+        faces[sel] = bases[a] + np.searchsorted(axis_lin[a], f_lin[sel])
+    return Mesh(vertices=verts, faces=faces)
+
+
+# grids past this size get the blocked driver by default (dense MC's
+# grid-shaped temporaries stop fitting single-chip HBM around ~300^3)
+_DENSE_MAX_VOXELS = 24_000_000
 
 
 def extract_mesh(
@@ -323,13 +644,21 @@ def extract_mesh(
     grid: GridSpec,
     iso_level: float = 0.0,
     linear_interp: bool = True,
-    capacity_hint: int | None = None,
+    capacity_hint: Optional[int] = None,
 ) -> Mesh:
     """Host wrapper: run device MC, trim to counts, return a Mesh.
 
     Automatically re-runs with doubled capacities if the fixed buffers
-    overflow (counts are exact regardless of capacity)."""
+    overflow (counts are exact regardless of capacity). Grids too large
+    for the dense single-program driver dispatch to the z-slab blocked
+    driver, which produces the identical mesh.
+    """
     nz, ny, nx = state.sdf.shape
+    if nz * ny * nx > _DENSE_MAX_VOXELS and nz > 50:
+        return extract_mesh_blocked(
+            state, grid, iso_level, linear_interp,
+            capacity_hint=capacity_hint,
+        )
     if capacity_hint is None:
         # surface area heuristic: O(n^2) cubes cut, ~3 verts/cube
         est = int(6 * max(nx * ny, ny * nz, nx * nz))
@@ -348,12 +677,13 @@ def extract_mesh(
         nv = int(nv)
         nf = int(nf)
         if nv <= vcap and nf <= fcap:
-            # assemble [N, 3] on host -- device arrays stay 1-D (tiling)
+            # assemble [N, 3] on host -- device arrays stay 1-D
+            # (tiling); slice on device so only real data transfers
             verts = np.stack(
-                [np.asarray(c)[:nv] for c in vcomps], axis=-1
+                [np.asarray(c[:nv]) for c in vcomps], axis=-1
             )
             faces = np.stack(
-                [np.asarray(c)[:nf] for c in fcomps], axis=-1
+                [np.asarray(c[:nf]) for c in fcomps], axis=-1
             )
             return Mesh(vertices=verts, faces=faces)
         if nv > vcap:

@@ -233,7 +233,10 @@ def marching_cubes_sharded(
                 p0 = cz_ext[1 : lz + 1].reshape(-1, 1, 1)
                 p1 = cz_ext[2 : lz + 2].reshape(-1, 1, 1)
             straddle = (s0 < iso) != (s1 < iso)
-            pvar = _edge_vertex_interp(s0, s1, p0, p1, iso, linear_interp)
+            if linear_interp:
+                pvar = _edge_vertex_interp(s0, s1, p0, p1, iso)
+            else:
+                pvar = jnp.broadcast_to(p0, s0.shape)
             pvar = jnp.broadcast_to(pvar, s0.shape)
             if pad is not None:
                 straddle = jnp.pad(straddle, pad)
