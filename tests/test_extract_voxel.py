@@ -1,0 +1,93 @@
+"""Voxel-face extraction semantics vs a literal oracle
+(reference extract_voxel.cc:15-79, 258-317)."""
+
+import numpy as np
+
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.extract_voxel import (
+    extract_voxel_mesh,
+    occupancy_mask,
+    surface_flags,
+)
+
+
+def _state(seed=0, shape=(6, 5, 4)):
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    grid = GridSpec(
+        bb_min=(0, 0, 0),
+        bb_max=(nx * 1.0 + 0.2, ny * 1.0 + 0.2, nz * 1.0 + 0.2),
+        resolution=1.0,
+    )
+    assert grid.shape_zyx == shape
+    sdf = rng.normal(size=shape).astype(np.float32)
+    un = rng.integers(0, 3, size=shape).astype(np.int32)
+    return grid, VoxelGridState(sdf=sdf, update_num=un)
+
+
+def oracle_surface_flags(sdf, un):
+    """Literal UpdateOnSurface (extract_voxel.cc:15-79): axis sweeps, flag
+    the higher-index voxel of each updated pair whose sdf signs differ."""
+    tiny = np.finfo(np.float32).tiny
+    flag = np.zeros(sdf.shape, bool)
+    nz, ny, nx = sdf.shape
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                for dz, dy, dx in ((0, 0, 1), (0, 1, 0), (1, 0, 0)):
+                    pz, py, px = z - dz, y - dy, x - dx
+                    if pz < 0 or py < 0 or px < 0:
+                        continue
+                    if un[z, y, x] < 1 or un[pz, py, px] < 1:
+                        continue
+                    if (
+                        sdf[z, y, x] * sdf[pz, py, px] < 0
+                        or abs(sdf[z, y, x]) < tiny
+                    ):
+                        flag[z, y, x] = True
+    return flag
+
+
+def test_surface_flags_match_oracle():
+    for seed in range(3):
+        grid, state = _state(seed)
+        got = np.asarray(surface_flags(state))
+        want = oracle_surface_flags(
+            np.asarray(state.sdf), np.asarray(state.update_num)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_occupancy_keep_rule():
+    grid, state = _state(1)
+    keep = np.asarray(occupancy_mask(state))
+    want = (np.asarray(state.sdf) <= 0) & (
+        np.asarray(state.update_num) >= 1
+    )
+    np.testing.assert_array_equal(keep, want)
+
+
+def test_extract_voxel_mesh_geometry():
+    grid, state = _state(2)
+    mesh = extract_voxel_mesh(state, grid)
+    n_kept = int(np.asarray(occupancy_mask(state)).sum())
+    assert mesh.num_vertices == 24 * n_kept
+    assert mesh.num_faces == 12 * n_kept
+    # each cube spans exactly one voxel pitch
+    v = mesh.vertices.reshape(n_kept, 24, 3)
+    span = v.max(axis=1) - v.min(axis=1)
+    np.testing.assert_allclose(span, grid.resolution, atol=1e-5)
+
+
+def test_extract_voxel_inside_empty_uses_surface():
+    grid, state = _state(3)
+    mesh = extract_voxel_mesh(state, grid, inside_empty=True)
+    n_surf = int(np.asarray(surface_flags(state)).sum())
+    assert mesh.num_vertices == 24 * n_surf
+
+
+def test_extract_voxel_empty():
+    grid, _ = _state(4)
+    empty = VoxelGridState.create(grid)
+    mesh = extract_voxel_mesh(empty, grid)
+    assert mesh.num_vertices == 0 and mesh.num_faces == 0

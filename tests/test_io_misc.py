@@ -1,0 +1,138 @@
+"""TUM pose loading, checkpoint/resume, image visualization, metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.checkpoint import load_state, save_state
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.io.image import (
+    depth_to_gray,
+    face_id_to_random_color,
+    load_mask,
+    normal_to_color,
+    write_png,
+)
+from vacancy_tpu.io.tum import load_tum_format, load_tum_poses
+from vacancy_tpu.metrics import (
+    bbox_diagonal,
+    chamfer_distance,
+    hausdorff_distance,
+)
+from vacancy_tpu.ops.sdf2d import signed_distance_to_color
+
+DATA = "/root/reference/data"
+
+
+# ----------------------------------------------------------------- TUM ---
+def test_tum_poses_are_rigid():
+    poses = load_tum_poses(os.path.join(DATA, "tumpose.txt"))
+    assert len(poses) == 6
+    for p in poses:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert np.isclose(np.linalg.det(R), 1.0, atol=1e-9)
+        np.testing.assert_allclose(p[3], [0, 0, 0, 1])
+
+
+def test_tum_ids_and_quaternion_convention(tmp_path):
+    # identity quaternion -> identity rotation; translation passes through
+    p = tmp_path / "pose.txt"
+    p.write_text("7 1.0 2.0 3.0 0 0 0 1\n")
+    pairs = load_tum_format(str(p))
+    assert pairs[0][0] == 7
+    np.testing.assert_allclose(pairs[0][1][:3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(pairs[0][1][:3, 3], [1, 2, 3])
+    # 90 deg about z: q = (0, 0, sin45, cos45)
+    s = np.sin(np.pi / 4)
+    p.write_text(f"0 0 0 0 0 0 {s} {s}\n")
+    c2w = load_tum_poses(str(p))[0]
+    np.testing.assert_allclose(
+        c2w[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-12
+    )
+
+
+def test_tum_rejects_malformed(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("0 1 2 3\n")
+    with pytest.raises(ValueError):
+        load_tum_format(str(p))
+
+
+# ---------------------------------------------------------- checkpoint ---
+def test_checkpoint_roundtrip(tmp_path):
+    grid = GridSpec(bb_min=(0, 0, 0), bb_max=(2.1, 2.1, 2.1), resolution=0.5)
+    state = VoxelGridState.create(grid)
+    rng = np.random.default_rng(0)
+    state = VoxelGridState(
+        sdf=rng.normal(size=grid.shape_zyx).astype(np.float32),
+        update_num=rng.integers(0, 4, size=grid.shape_zyx).astype(np.int32),
+    )
+    path = str(tmp_path / "ck.npz")
+    save_state(path, state, grid, next_view=3, extra={"tag": "t"})
+    st2, grid2, nv, extra = load_state(path)
+    assert grid2 == grid
+    assert nv == 3
+    assert extra == {"tag": "t"}
+    np.testing.assert_array_equal(np.asarray(st2.sdf), np.asarray(state.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(st2.update_num), np.asarray(state.update_num)
+    )
+
+
+# ------------------------------------------------------------ image viz ---
+def test_depth_to_gray():
+    d = np.array([[0.0, 1.0], [2.0, 3.0]], np.float32)
+    g = depth_to_gray(d, 1.0, 3.0)
+    assert g.dtype == np.uint8
+    assert g[0, 0] == 0  # below min -> 0 (reference image.cc:46-48)
+    assert g[0, 1] == 0 and g[1, 1] == 255
+
+
+def test_normal_to_color():
+    n = np.array([[[0.0, 0.0, 1.0]]], np.float32)
+    c = normal_to_color(n)
+    np.testing.assert_array_equal(c[0, 0], [128, 128, 255])
+
+
+def test_face_id_to_random_color_deterministic():
+    ids = np.array([[0, 1], [-1, 1]], np.int32)
+    c1 = face_id_to_random_color(ids, seed=0)
+    c2 = face_id_to_random_color(ids, seed=0)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1[1, 0], [0, 0, 0])  # id<0 -> black
+    np.testing.assert_array_equal(c1[0, 1], c1[1, 1])  # same id same color
+
+
+def test_sdf_color_convention():
+    sdf = np.array([[-1.0, 1.0]], np.float32)
+    img = signed_distance_to_color(sdf, -1.0, 1.0)
+    # inside (negative) -> blue channel, outside (positive) -> red
+    # (reference voxel_carver.cc:239-267)
+    assert img[0, 0, 2] > img[0, 0, 0]
+    assert img[0, 1, 0] > img[0, 1, 2]
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(24, dtype=np.uint8)).reshape(4, 6)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    back = load_mask(p)
+    np.testing.assert_array_equal(back, img)
+
+
+# -------------------------------------------------------------- metrics ---
+def test_chamfer_and_hausdorff_known_values():
+    a = np.array([[0, 0, 0], [1, 0, 0]], np.float32)
+    b = np.array([[0, 0, 0.5], [1, 0, 0.5], [2, 0, 0.5]], np.float32)
+    ch, d_ab, d_ba = chamfer_distance(a, b)
+    assert np.isclose(d_ab, 0.5)
+    assert np.isclose(d_ba, (0.5 + 0.5 + np.sqrt(1.25)) / 3)
+    assert np.isclose(ch, 0.5 * (d_ab + d_ba))
+    assert np.isclose(hausdorff_distance(a, b), np.sqrt(1.25))
+
+
+def test_bbox_diagonal():
+    pts = np.array([[0, 0, 0], [3, 4, 0]], np.float32)
+    assert np.isclose(bbox_diagonal(pts), 5.0)

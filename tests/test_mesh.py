@@ -1,0 +1,106 @@
+"""Mesh container + primitive factory tests (reference mesh.cc:83-830)."""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.mesh import Mesh, make_cube, set_random_vertex_color
+
+
+def _tri():
+    return Mesh(
+        vertices=np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+        ),
+        faces=np.array([[0, 1, 2]], np.int32),
+    )
+
+
+def test_calc_stats():
+    m = _tri()
+    st = m.calc_stats()
+    np.testing.assert_allclose(st.bb_min, [0, 0, 0])
+    np.testing.assert_allclose(st.bb_max, [1, 1, 0])
+    np.testing.assert_allclose(st.center, [1 / 3, 1 / 3, 0], rtol=1e-6)
+
+
+def test_face_and_vertex_normals():
+    m = _tri()
+    fn = m.calc_face_normal()
+    np.testing.assert_allclose(fn, [[0, 0, 1]], atol=1e-7)
+    vn = m.calc_normal()
+    np.testing.assert_allclose(vn, [[0, 0, 1]] * 3, atol=1e-7)
+
+
+def test_remove_duplicated_vertices():
+    # two triangles sharing an edge, stored with split vertices
+    v = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [0, 1, 0],
+            [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        ],
+        np.float32,
+    )
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    m = Mesh(vertices=v, faces=f)
+    m.remove_duplicated_vertices()
+    assert m.num_vertices == 4
+    assert m.num_faces == 2
+    # faces still reference the same positions
+    np.testing.assert_array_equal(m.vertices[m.faces[0]], v[[0, 1, 2]])
+    np.testing.assert_array_equal(m.vertices[m.faces[1]], v[[3, 4, 5]])
+
+
+def test_transforms_compose():
+    m = _tri()
+    R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)  # z 90deg
+    t = np.array([1, 2, 3], np.float32)
+    m.transform(R, t)
+    np.testing.assert_allclose(
+        m.vertices, np.array([[1, 2, 3], [1, 3, 3], [0, 2, 3]]), atol=1e-6
+    )
+    m.scale(2.0)
+    np.testing.assert_allclose(m.vertices[0], [2, 4, 6], atol=1e-6)
+    m.scale(1.0, 0.5, 1.0)
+    np.testing.assert_allclose(m.vertices[1], [2, 3, 6], atol=1e-6)
+
+
+def test_make_cube_structure():
+    c = make_cube(2.0)
+    assert c.num_vertices == 24  # split verts for per-face normals
+    assert c.num_faces == 12
+    st = c.calc_stats()
+    np.testing.assert_allclose(st.bb_min, [-1, -1, -1])
+    np.testing.assert_allclose(st.bb_max, [1, 1, 1])
+    # gradient colors span [0, 255]
+    assert c.vertex_colors.min() == 0.0
+    assert c.vertex_colors.max() == 255.0
+    # outward-facing winding: normals from each face point away from origin
+    c.calc_face_normal()
+    centers = c.vertices[c.faces].mean(axis=1)
+    dots = np.sum(c.face_normals * centers, axis=-1)
+    assert np.all(dots > 0)
+
+
+def test_make_cube_anisotropic_and_transformed():
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([5.0, 0.0, 0.0], np.float32)
+    c = make_cube((2.0, 4.0, 6.0), R=R, t=t)
+    st = c.calc_stats()
+    np.testing.assert_allclose(st.bb_min, [4, -2, -3])
+    np.testing.assert_allclose(st.bb_max, [6, 2, 3])
+
+
+def test_set_random_vertex_color():
+    c = make_cube(1.0)
+    set_random_vertex_color(c, seed=1)
+    assert c.vertex_colors.shape == (24, 3)
+    assert c.vertex_colors.min() >= 0 and c.vertex_colors.max() <= 255
+
+
+def test_empty_mesh_stats_and_clear():
+    m = Mesh()
+    st = m.calc_stats()
+    assert np.all(st.bb_min > st.bb_max)  # reference's empty sentinel
+    m2 = _tri()
+    m2.clear()
+    assert m2.num_vertices == 0 and m2.num_faces == 0

@@ -1,0 +1,78 @@
+"""Property tests (SURVEY section 4 item 4): carving monotonicity and
+synthetic turntable sanity."""
+
+import numpy as np
+
+from vacancy_tpu.carver import VoxelCarver
+from vacancy_tpu.config import VoxelCarverOption, VoxelUpdateOption
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.extract_voxel import occupancy_mask
+from vacancy_tpu.ops.fusion import carve_masks
+from vacancy_tpu.synthetic import (
+    blob_spheres,
+    render_silhouettes,
+    turntable_cameras,
+)
+
+
+def test_look_at_cameras_point_at_target():
+    cams = turntable_cameras(8, radius=3.0, width=64, height=48)
+    for cam in cams:
+        c2w = np.asarray(cam.c2w)
+        eye = c2w[:3, 3]
+        fwd = c2w[:3, 2]  # z-forward (OpenCV convention, camera.h:6-10)
+        to_target = -eye / np.linalg.norm(eye)
+        assert np.dot(fwd, to_target) > 0.99
+
+
+def test_carving_monotonicity():
+    """kMax carving: fusing MORE views never grows the occupied set."""
+    centers, radii = blob_spheres(seed=0, n_spheres=3)
+    cams = turntable_cameras(6, radius=3.5, width=80, height=60)
+    masks = render_silhouettes(cams, centers, radii)
+
+    grid = GridSpec(
+        bb_min=(-1.2, -1.2, -1.2), bb_max=(1.25, 1.25, 1.25), resolution=0.15
+    )
+    occ_prev = None
+    state = VoxelGridState.create(grid)
+    for i in range(len(cams)):
+        state, _ = carve_masks(state, grid, cams[i], masks[i])
+        occ = np.asarray(occupancy_mask(state))
+        if occ_prev is not None:
+            # no voxel may come back once carved away
+            assert not np.any(occ & ~occ_prev)
+        occ_prev = occ
+    assert occ_prev.sum() > 0  # something survives
+
+
+def test_turntable_hull_contains_object():
+    """The visual hull over-approximates: object-interior voxels stay."""
+    cpos, crad = blob_spheres(seed=1, n_spheres=2)
+    cams = turntable_cameras(10, radius=3.5, width=96, height=72)
+    masks = render_silhouettes(cams, cpos, crad)
+    grid = GridSpec(
+        bb_min=(-1.2, -1.2, -1.2), bb_max=(1.25, 1.25, 1.25), resolution=0.1
+    )
+    state = VoxelGridState.create(grid)
+    for i in range(len(cams)):
+        state, _ = carve_masks(state, grid, cams[i], masks[i])
+    occ = np.asarray(occupancy_mask(state))
+
+    centers = grid.centers_zyx(use_numpy=True)
+    inside = np.zeros(grid.shape_zyx, bool)
+    for c, r in zip(cpos, crad):
+        d = np.linalg.norm(centers - np.asarray(c), axis=-1)
+        inside |= d < 0.8 * r  # margin for voxel quantization
+    # all well-inside voxels must survive carving
+    assert np.all(occ[inside])
+
+
+def test_silhouettes_nonempty_and_binary():
+    cpos, crad = blob_spheres(seed=2)
+    cams = turntable_cameras(4, radius=3.5, width=64, height=48)
+    masks = render_silhouettes(cams, cpos, crad)
+    masks = np.asarray(masks)
+    assert masks.shape == (4, 48, 64)
+    assert set(np.unique(masks)).issubset({0, 255})
+    assert (masks == 255).any(axis=(1, 2)).all()  # every view sees it
