@@ -56,3 +56,44 @@ def test_ply_vertex_colors_roundtrip(tmp_path):
     m.write_ply(p)
     back = Mesh.load_ply(p)
     assert back.num_vertices == m.num_vertices
+
+
+def test_obj_textured_roundtrip(tmp_path):
+    import os
+
+    from vacancy_tpu.io.meshio import write_obj_textured
+
+    m = make_cube(1.0)
+    m.calc_normal()
+    # simple per-face-corner uvs: reuse vertex ids
+    m.uv = np.random.default_rng(0).random((m.num_vertices, 2)).astype(
+        np.float32
+    )
+    m.uv_indices = m.faces.copy()
+    m.diffuse_texture = np.zeros((8, 8, 3), np.uint8)
+    write_obj_textured(str(tmp_path), "tex_cube", m)
+    assert os.path.exists(tmp_path / "tex_cube.obj")
+    assert os.path.exists(tmp_path / "tex_cube.mtl")
+    assert os.path.exists(tmp_path / "tex_cube.png")
+    mtl = (tmp_path / "tex_cube.mtl").read_text()
+    assert "map_Kd tex_cube.png" in mtl and "newmtl Textured" in mtl
+
+    back = Mesh.load_obj(str(tmp_path / "tex_cube.obj"))
+    np.testing.assert_allclose(back.vertices, m.vertices, atol=1e-4)
+    np.testing.assert_array_equal(back.faces, m.faces)
+    np.testing.assert_allclose(back.uv, m.uv, atol=1e-4)
+    np.testing.assert_array_equal(back.uv_indices, m.uv_indices)
+    np.testing.assert_allclose(back.normals, m.normals, atol=1e-4)
+
+
+def test_common_utils_parity():
+    from vacancy_tpu.utils import c2w, degrees, radians
+
+    assert np.isclose(radians(180.0), np.pi)
+    assert np.isclose(degrees(np.pi / 2), 90.0)
+    T = c2w([0, 0, -5.0], [0, 0, 0], [0, 1, 0])
+    # z column looks from position toward target (common.h:50-58)
+    np.testing.assert_allclose(T[:3, 2], [0, 0, 1], atol=1e-12)
+    np.testing.assert_allclose(T[:3, 3], [0, 0, -5])
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)

@@ -184,12 +184,79 @@ def write_obj(path: str, mesh: "Mesh") -> None:
         fp.write("\n".join(lines) + "\n")
 
 
+def write_obj_textured(
+    obj_dir: str,
+    obj_basename: str,
+    mesh: "Mesh",
+    mtl_basename: str = "",
+    tex_basename: str = "",
+) -> None:
+    """OBJ + MTL + diffuse-texture PNG (reference mesh.cc:634-726).
+
+    Writes ``<obj_basename>.obj`` referencing ``<mtl>.mtl`` (defaults to
+    the obj basename), the MTL's ``map_Kd`` pointing at ``<tex>.png``,
+    and the texture image itself when the mesh carries one.
+    """
+    import os
+
+    mtl_name = (mtl_basename or obj_basename) + ".mtl"
+    tex_name = (tex_basename or obj_basename) + ".png"
+    os.makedirs(obj_dir, exist_ok=True)
+
+    v = mesh.vertices
+    f = mesh.faces + 1
+    lines = [f"mtllib ./{mtl_name}", ""]
+    lines += [f"v {x:g} {y:g} {z:g} 1.0" for x, y, z in v.tolist()]
+    has_uv = mesh.uv is not None and mesh.uv_indices is not None
+    has_n = mesh.normals is not None
+    if has_uv:
+        lines += [f"vt {u:g} {w:g} 0" for u, w in mesh.uv.tolist()]
+    if has_n:
+        lines += [
+            f"vn {x:g} {y:g} {z:g}" for x, y, z in mesh.normals.tolist()
+        ]
+    n_idx = (
+        mesh.normal_indices + 1 if mesh.normal_indices is not None else f
+    )
+    uv_idx = mesh.uv_indices + 1 if has_uv else None
+    for i in range(mesh.num_faces):
+        parts = []
+        for j in range(3):
+            s = str(f[i, j])
+            if has_uv or has_n:
+                s += "/" + (str(uv_idx[i, j]) if has_uv else "")
+                if has_n:
+                    s += "/" + str(n_idx[i, j])
+            parts.append(s)
+        lines.append("f " + " ".join(parts))
+    with open(os.path.join(obj_dir, obj_basename + ".obj"), "w") as fp:
+        fp.write("\n".join(lines) + "\n")
+
+    with open(os.path.join(obj_dir, mtl_name), "w") as fp:
+        fp.write(
+            "newmtl Textured\n"
+            "Ka 1.000 1.000 1.000\n"
+            "Kd 1.000 1.000 1.000\n"
+            "Ks 0.000 0.000 0.000\n"
+            "d 1.0\n"
+            "illum 2\n"
+            f"map_Kd {tex_name}\n"
+        )
+
+    if mesh.diffuse_texture is not None:
+        from .image import write_png
+
+        write_png(os.path.join(obj_dir, tex_name), mesh.diffuse_texture)
+
+
 def load_obj(path: str) -> "Mesh":
-    """Minimal OBJ reader: v / f records (reference gates its reader behind
-    tinyobjloader, mesh.cc:330-473)."""
+    """OBJ reader: v / vt / vn / f records with slash-separated indices
+    (the reference gates its reader behind tinyobjloader,
+    mesh.cc:330-473); faces are fan-triangulated."""
     from ..mesh import Mesh
 
-    verts, faces = [], []
+    verts, uvs, normals = [], [], []
+    faces, uv_faces, n_faces = [], [], []
     with open(path) as fp:
         for line in fp:
             tok = line.split()
@@ -197,13 +264,43 @@ def load_obj(path: str) -> "Mesh":
                 continue
             if tok[0] == "v":
                 verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "vt":
+                uvs.append([float(x) for x in tok[1:3]])
+            elif tok[0] == "vn":
+                normals.append([float(x) for x in tok[1:4]])
             elif tok[0] == "f":
-                idx = [int(t.split("/")[0]) - 1 for t in tok[1:]]
-                for i in range(1, len(idx) - 1):  # fan-triangulate
-                    faces.append([idx[0], idx[i], idx[i + 1]])
+                vi, ti, ni = [], [], []
+                for t in tok[1:]:
+                    comp = t.split("/")
+                    vi.append(int(comp[0]) - 1)
+                    ti.append(
+                        int(comp[1]) - 1
+                        if len(comp) > 1 and comp[1]
+                        else -1
+                    )
+                    ni.append(
+                        int(comp[2]) - 1
+                        if len(comp) > 2 and comp[2]
+                        else -1
+                    )
+                for i in range(1, len(vi) - 1):  # fan-triangulate
+                    faces.append([vi[0], vi[i], vi[i + 1]])
+                    uv_faces.append([ti[0], ti[i], ti[i + 1]])
+                    n_faces.append([ni[0], ni[i], ni[i + 1]])
     mesh = Mesh(
         vertices=np.asarray(verts, np.float32).reshape(-1, 3),
         faces=np.asarray(faces, np.int32).reshape(-1, 3),
     )
+    if uvs and all(t >= 0 for row in uv_faces for t in row):
+        mesh.uv = np.asarray(uvs, np.float32).reshape(-1, 2)
+        mesh.uv_indices = np.asarray(uv_faces, np.int32).reshape(-1, 3)
+    if normals and all(n >= 0 for row in n_faces for n in row):
+        per_face = np.asarray(n_faces, np.int32).reshape(-1, 3)
+        src = np.asarray(normals, np.float32).reshape(-1, 3)
+        if len(src) == mesh.num_vertices:
+            # common case: one normal per vertex
+            mesh.normals = src
+            mesh.normal_indices = per_face
+            return mesh
     mesh.calc_normal()
     return mesh

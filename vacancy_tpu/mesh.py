@@ -35,6 +35,8 @@ class Mesh:
     face_normals: Optional[np.ndarray] = None  # f32[M, 3]
     uv: Optional[np.ndarray] = None  # f32[K, 2]
     uv_indices: Optional[np.ndarray] = None  # i32[M, 3]
+    normal_indices: Optional[np.ndarray] = None  # i32[M, 3]
+    diffuse_texture: Optional[np.ndarray] = None  # uint8[H, W, 3]
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, np.float32).reshape(
@@ -58,6 +60,8 @@ class Mesh:
         self.face_normals = None
         self.uv = None
         self.uv_indices = None
+        self.normal_indices = None
+        self.diffuse_texture = None
 
     # ------------------------------------------------------------------
     # geometry utilities (reference mesh.cc:83-239)
@@ -179,6 +183,20 @@ class Mesh:
         from .io.meshio import write_obj
 
         write_obj(path, self)
+
+    def write_obj_textured(
+        self,
+        obj_dir: str,
+        obj_basename: str,
+        mtl_basename: str = "",
+        tex_basename: str = "",
+    ) -> None:
+        """OBJ + MTL + diffuse-texture PNG (reference mesh.cc:634-726)."""
+        from .io.meshio import write_obj_textured
+
+        write_obj_textured(
+            obj_dir, obj_basename, self, mtl_basename, tex_basename
+        )
 
     @staticmethod
     def load_ply(path: str) -> "Mesh":

@@ -1,3 +1,4 @@
+from .common import c2w, degrees, radians
 from .log import LOGD, LOGE, LOGI, LOGW, LogLevel, set_log_level
 from .timing import Timer, device_timer
 
