@@ -1,7 +1,7 @@
 """Headline benchmark: voxel-view fusions/sec/chip (BASELINE.json metric).
 
-Fuses a batch of views into a 256^3 grid (the BASELINE 256^3/512^3
-configs) with the two-pass projective-warp Pallas engine
+Fuses a batch of views into a 512^3 grid (the larger of the BASELINE
+256^3/512^3 configs) with the two-pass projective-warp Pallas engine
 (vacancy_tpu/ops/fusion_warp.py) and reports steady-state throughput as
 voxel-view fusions per second on one chip. vs_baseline is the ratio
 against the 1e9/s target.
@@ -56,7 +56,7 @@ def build_case(n=256, n_views=24, h=240, w=320):
     return grid, state, w2c, pp, fl, imgs
 
 
-def run_bench(n=256, n_views=24, iters=4):
+def run_bench(n=512, n_views=24, iters=4):
     import jax.numpy as jnp
 
     from vacancy_tpu.config import VoxelUpdateOption
@@ -88,7 +88,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "voxel_view_fusions_per_sec_per_chip_256^3",
+                "metric": "voxel_view_fusions_per_sec_per_chip_512^3",
                 "value": round(rate, 1),
                 "unit": "fusions/s",
                 "vs_baseline": round(rate / target, 4),

@@ -250,9 +250,32 @@ def run_turntable(
         carve_s = time.perf_counter() - t0
         mesh = extract_mesh_sharded(state, grid, dev_mesh)
     else:
-        state = VoxelGridState.create(grid)
-        state, _ = carve_masks(state, grid, batched, masks, opt=opt)
-        np.asarray(state.sdf[:1, :1, :1])
+        import jax.numpy as jnp
+
+        from .config import SdfInterpolation
+        from .ops.fusion_warp import carve_views_warp
+        from .ops.sdf2d import make_signed_distance_field
+
+        sdf_images = jax.vmap(
+            lambda m: make_signed_distance_field(
+                m, use_truncation=opt.use_truncation,
+                truncation_band=opt.truncation_band,
+            )
+        )(jnp.asarray(masks))
+
+        def carve():
+            st = carve_views_warp(
+                VoxelGridState.create(grid), grid, batched.w2c,
+                batched.principal_point, batched.focal_length, sdf_images,
+                opt=opt,
+                linear=opt.sdf_interp == SdfInterpolation.BILINEAR,
+            )
+            float(jnp.sum(st.sdf[:1, :1]))  # sync through the tunnel
+            return st
+
+        carve()  # compile warmup
+        t0 = time.perf_counter()
+        state = carve()
         carve_s = time.perf_counter() - t0
         mesh = extract_mesh(state, grid)
     if out_dir:
