@@ -121,12 +121,32 @@ def test_sharded_mc_equals_dense(n_shards):
     mesh = make_device_mesh(n_shards)
     sh = extract_mesh_sharded(state, grid, mesh)
 
-    assert sh.num_vertices == dense.num_vertices
-    assert sh.num_faces == dense.num_faces
-    dv, df = canonicalize(dense)
-    sv, sf = canonicalize(sh)
-    np.testing.assert_allclose(sv, dv, atol=1e-4)
-    np.testing.assert_array_equal(sf, df)
+    # the sharded driver now reproduces the dense mesh EXACTLY --
+    # same vertex order, same face order (shared _slab_emit core)
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)
+
+
+@pytest.mark.parametrize("linear_interp", [True, False])
+def test_sharded_mc_exact_equality_with_invalids(linear_interp):
+    _require_devices(4)
+    rng = np.random.default_rng(11)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0), bb_max=(10.4, 9.4, 12.4), resolution=1.0
+    )
+    assert grid.shape_zyx == (12, 9, 10)
+    sdf = rng.normal(size=(12, 9, 10)).astype(np.float32)
+    inv = rng.random((12, 9, 10)) > 0.85
+    sdf[inv] = np.float32(np.finfo(np.float32).min)
+    un = (rng.random((12, 9, 10)) > 0.1).astype(np.int32)
+    state = VoxelGridState(sdf=jnp.asarray(sdf), update_num=jnp.asarray(un))
+    dense = extract_mesh(state, grid, linear_interp=linear_interp)
+    mesh = make_device_mesh(4)
+    sh = extract_mesh_sharded(
+        state, grid, mesh, linear_interp=linear_interp
+    )
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)
 
 
 def test_sharded_mc_seams_watertight():

@@ -381,54 +381,28 @@ def _edge_off_zyx(e: int) -> Tuple[int, int, int]:
     return oz, oy, ox
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "grid",
-        "slab_nz",
-        "iso_level",
-        "linear_interp",
-        "vertex_capacity",
-        "face_capacity",
-    ),
-)
-def marching_cubes_slab(
-    sdf_pad: jax.Array,  # f32[nz+2, ny, nx], INVALID-padded in z
-    un_pad: jax.Array,  # i32[nz+2, ny, nx], 0-padded in z
-    grid: GridSpec,
-    slice_lo: jax.Array,  # i32[] global z of the first owned-candidate plane
+def _slab_emit(
+    sl_sdf: jax.Array,  # f32[slab+2, ny, nx] incl. one halo plane each side
+    sl_un: jax.Array,  # i32[slab+2, ny, nx]
+    centers,  # (cx f32[nx], cy f32[ny], cz_slice f32[slab+2])
+    slice_lo: jax.Array,  # i32[] global z of local plane 1 (owned start)
     own_lo: jax.Array,  # i32[] first owned voxel z
     own_hi: jax.Array,  # i32[] one past last owned voxel z
-    slab_nz: int,
-    iso_level: float = 0.0,
-    linear_interp: bool = True,
-    vertex_capacity: int = 1 << 18,
-    face_capacity: int = 1 << 19,
+    iso_level: float,
+    linear_interp: bool,
+    vertex_capacity: int,
+    face_capacity: int,
 ):
-    """One z-slab of marching cubes, emitting global edge keys.
+    """Shared slab emission core for the blocked and sharded MC drivers.
 
-    The slab sees voxel planes ``[slice_lo - 1, slice_lo + slab_nz]``
-    (clamped by the caller so the slice is in-range) and *owns* edges
-    whose owner voxel z is in ``[own_lo, own_hi)`` plus cubes based
-    there. Returns, per axis a: vertex count, position components and
-    owner linear ids (compacted in (z, y, x) order); plus face count and
-    per-corner (axis, owner-lin) key components in cube-major order.
+    Processes edges whose owner voxel z is in ``[own_lo, own_hi)`` plus
+    the cubes based there, and emits, per axis a: vertex count, position
+    components and owner linear ids (compacted in (z, y, x) order); plus
+    face count and per-corner (axis, owner-lin) global edge keys in
+    cube-major order. The emitted ordering makes the host assembly
+    (`_assemble_slab_parts`) reproduce the dense driver's mesh exactly.
     """
-    nz_g, ny, nx = sdf_pad.shape[0] - 2, sdf_pad.shape[1], sdf_pad.shape[2]
-    s_nz = slab_nz + 2  # local voxel planes including halo
-
-    sl_sdf = jax.lax.dynamic_slice(
-        sdf_pad, (slice_lo, 0, 0), (s_nz, ny, nx)
-    )
-    sl_un = jax.lax.dynamic_slice(un_pad, (slice_lo, 0, 0), (s_nz, ny, nx))
-
-    cz_pad = jnp.pad(jnp.asarray(grid.axis_centers(2)), (1, 1))
-    cz_sl = jax.lax.dynamic_slice(cz_pad, (slice_lo,), (s_nz,))
-    centers = (
-        jnp.asarray(grid.axis_centers(0)),
-        jnp.asarray(grid.axis_centers(1)),
-        cz_sl,
-    )
+    s_nz, ny, nx = sl_sdf.shape
 
     cube_valid, packed_lo, packed_hi, vflags, vpos_comp = _mc_geometry(
         sl_sdf, sl_un, centers, iso_level, linear_interp
@@ -530,6 +504,94 @@ def marching_cubes_slab(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid",
+        "slab_nz",
+        "iso_level",
+        "linear_interp",
+        "vertex_capacity",
+        "face_capacity",
+    ),
+)
+def marching_cubes_slab(
+    sdf_pad: jax.Array,  # f32[nz+2, ny, nx], INVALID-padded in z
+    un_pad: jax.Array,  # i32[nz+2, ny, nx], 0-padded in z
+    grid: GridSpec,
+    slice_lo: jax.Array,  # i32[] global z of the first owned-candidate plane
+    own_lo: jax.Array,  # i32[] first owned voxel z
+    own_hi: jax.Array,  # i32[] one past last owned voxel z
+    slab_nz: int,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    vertex_capacity: int = 1 << 18,
+    face_capacity: int = 1 << 19,
+):
+    """One z-slab of marching cubes, emitting global edge keys.
+
+    The slab sees voxel planes ``[slice_lo - 1, slice_lo + slab_nz]``
+    (clamped by the caller so the slice is in-range) and *owns* edges
+    whose owner voxel z is in ``[own_lo, own_hi)`` plus cubes based
+    there. See `_slab_emit` for the output contract.
+    """
+    ny, nx = sdf_pad.shape[1], sdf_pad.shape[2]
+    s_nz = slab_nz + 2  # local voxel planes including halo
+
+    sl_sdf = jax.lax.dynamic_slice(
+        sdf_pad, (slice_lo, 0, 0), (s_nz, ny, nx)
+    )
+    sl_un = jax.lax.dynamic_slice(un_pad, (slice_lo, 0, 0), (s_nz, ny, nx))
+
+    cz_pad = jnp.pad(jnp.asarray(grid.axis_centers(2)), (1, 1))
+    cz_sl = jax.lax.dynamic_slice(cz_pad, (slice_lo,), (s_nz,))
+    centers = (
+        jnp.asarray(grid.axis_centers(0)),
+        jnp.asarray(grid.axis_centers(1)),
+        cz_sl,
+    )
+    return _slab_emit(
+        sl_sdf, sl_un, centers, slice_lo, own_lo, own_hi,
+        iso_level, linear_interp, vertex_capacity, face_capacity,
+    )
+
+
+def _assemble_slab_parts(pos_parts, lin_parts, face_parts) -> Mesh:
+    """Assemble slab/shard emissions into the dense driver's exact mesh.
+
+    pos_parts/lin_parts: per axis, lists (ascending z) of [n_k, 3] / [n_k]
+    arrays; face_parts: list of (axis [m,3], owner-lin [m,3]) in cube-major
+    order. Vertex order: axis-major then ascending owner lin (= the dense
+    cumsum order); faces resolve via per-axis searchsorted.
+    """
+    axis_lin = [
+        np.concatenate(lin_parts[a])
+        if lin_parts[a]
+        else np.zeros((0,), np.int32)
+        for a in range(3)
+    ]
+    axis_pos = [
+        np.concatenate(pos_parts[a])
+        if pos_parts[a]
+        else np.zeros((0, 3), np.float32)
+        for a in range(3)
+    ]
+    bases = np.cumsum([0, len(axis_lin[0]), len(axis_lin[1])])
+    verts = np.concatenate(axis_pos) if axis_pos else np.zeros((0, 3))
+
+    if face_parts:
+        f_ax = np.concatenate([p[0] for p in face_parts])
+        f_lin = np.concatenate([p[1] for p in face_parts])
+    else:
+        f_ax = np.zeros((0, 3), np.int32)
+        f_lin = np.zeros((0, 3), np.int32)
+    faces = np.zeros(f_ax.shape, np.int32)
+    for a in range(3):
+        sel = f_ax == a
+        faces[sel] = bases[a] + np.searchsorted(axis_lin[a], f_lin[sel])
+    return Mesh(vertices=verts, faces=faces)
+
+
 def extract_mesh_blocked(
     state: VoxelGridState,
     grid: GridSpec,
@@ -609,29 +671,7 @@ def extract_mesh_blocked(
             )
         )
 
-    # assemble global vertex order: axis-major, then slab (z) ascending
-    axis_lin = [
-        np.concatenate(lin_parts[a])
-        if lin_parts[a]
-        else np.zeros((0,), np.int32)
-        for a in range(3)
-    ]
-    axis_pos = [
-        np.concatenate(pos_parts[a])
-        if pos_parts[a]
-        else np.zeros((0, 3), np.float32)
-        for a in range(3)
-    ]
-    bases = np.cumsum([0, len(axis_lin[0]), len(axis_lin[1])])
-    verts = np.concatenate(axis_pos) if axis_pos else np.zeros((0, 3))
-
-    f_ax = np.concatenate([p[0] for p in face_parts])
-    f_lin = np.concatenate([p[1] for p in face_parts])
-    faces = np.zeros(f_ax.shape, np.int32)
-    for a in range(3):
-        sel = f_ax == a
-        faces[sel] = bases[a] + np.searchsorted(axis_lin[a], f_lin[sel])
-    return Mesh(vertices=verts, faces=faces)
+    return _assemble_slab_parts(pos_parts, lin_parts, face_parts)
 
 
 # grids past this size get the blocked driver by default (dense MC's

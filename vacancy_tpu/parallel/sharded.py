@@ -7,19 +7,16 @@ Replaces the reference's OpenMP z-slice threading (``voxel_carver.cc:
     cameras/SDF images replicated, voxel centers computed from the
     shard-local z slice.
   * **marching cubes**: needs a one-voxel neighborhood across block seams
-    (``marching_cubes.cc:92-101``), resolved with TWO explicit halo
-    exchanges over `jax.lax.ppermute`:
-      1. before the case pass: each shard receives its -z neighbor's last
-         voxel slice and its +z neighbor's first voxel slice (sdf AND
-         update-validity, SURVEY section 7 hard-part 4);
-      2. after vertex-id assignment: each shard receives its +z
-         neighbor's first slice of global vertex ids, so triangles that
-         straddle the seam reference the neighbor's welded vertices.
-    Vertex ids are globally unique and deterministic: local (axis, z, y,
-    x)-order ids offset by an exclusive scan over all-gathered per-shard
-    counts -- the sharded mesh equals the single-device mesh up to a
-    fixed permutation of vertex ids (tests/test_sharding.py proves
-    geometric equality and watertight seams).
+    (``marching_cubes.cc:92-101``), resolved with a single explicit halo
+    exchange over `jax.lax.ppermute` (one voxel plane of sdf AND
+    update_num from each z neighbor -- cube validity needs both, SURVEY
+    section 7 hard-part 4). Each shard then runs the same slab-emission
+    core as the single-device blocked driver
+    (``ops.marching_cubes._slab_emit``): vertices are keyed by their
+    canonical edge's global owner id and faces reference vertices by
+    global edge key, so the host assembly reproduces the dense mesh
+    EXACTLY -- same vertex order, same face order, watertight seams by
+    construction (tests/test_sharding.py asserts array equality).
 """
 
 from __future__ import annotations
@@ -41,8 +38,7 @@ from ..config import INVALID_SDF, VoxelUpdateOption
 from ..grid import GridSpec, VoxelGridState
 from ..mesh import Mesh as TriMesh
 from ..ops.fusion import fold_views
-from ..ops.marching_cubes import _edge_vertex_interp
-from ..ops.mc_tables import CORNER_OFFSETS, EDGE_AXIS, EDGE_OWNER, TRI_TABLE
+from ..ops.marching_cubes import _assemble_slab_parts, _slab_emit
 
 AXIS = "z"
 
@@ -150,11 +146,18 @@ def marching_cubes_sharded(
 ):
     """Marching cubes over a z-sharded grid with explicit halo exchange.
 
-    Returns per-shard stacked buffers:
-      vertices f32[n*vertex_capacity, 3], v_counts i32[n],
-      faces    i32[n*face_capacity, 3],  f_counts i32[n]
-    where shard k's valid elements are the first counts[k] entries of its
-    block and face entries reference *global* vertex ids.
+    Each shard runs the SAME slab-emission core as the single-device
+    blocked driver (`ops.marching_cubes._slab_emit`) on its z block plus
+    a one-voxel halo obtained with two `ppermute`s (sdf AND update_num --
+    cube validity needs both). Shards emit per-axis compacted vertices
+    keyed by global owner id plus faces as global edge keys, so the host
+    assembly (`_assemble_slab_parts`) produces a mesh IDENTICAL (same
+    vertex and face order) to the dense single-device extraction --
+    watertight seams by construction.
+
+    Returns, stacked along the shard axis:
+      v_counts i32[n, 3]; per axis a: vx/vy/vz/vlin [n*vertex_capacity];
+      f_counts i32[n]; per corner j: f_ax/f_lin [n*face_capacity].
     """
     assert mesh is not None
     n = mesh.shape[AXIS]
@@ -164,189 +167,57 @@ def marching_cubes_sharded(
     cx = jnp.asarray(grid.axis_centers(0))
     cy = jnp.asarray(grid.axis_centers(1))
     cz_full = jnp.asarray(grid.axis_centers(2))
-    centers_xy = (cx, cy)
-    iso = float(iso_level)
 
     def local_fn(sdf, un, cz):
         k = jax.lax.axis_index(AXIS)
-        # ---- halo exchange 1: voxel slices across seams ----
-        # from next shard (+z): its first slice; from prev: its last slice
+        # ---- halo exchange: one voxel plane from each z neighbor ----
         sdf_next = _ppermute_fwd(sdf[:1], n)
         un_next = _ppermute_fwd(un[:1], n)
         sdf_prev = _ppermute_bwd(sdf[-1:], n)
         un_prev = _ppermute_bwd(un[-1:], n)
         cz_next = _ppermute_fwd(cz[:1], n)
+        cz_prev = _ppermute_bwd(cz[-1:], n)
         # boundary shards have no neighbor: mark halo invalid
         invalid = jnp.full_like(sdf_next, INVALID_SDF)
         sdf_next = jnp.where(k == n - 1, invalid, sdf_next)
         un_next = jnp.where(k == n - 1, 0, un_next)
         sdf_prev = jnp.where(k == 0, invalid, sdf_prev)
         un_prev = jnp.where(k == 0, 0, un_prev)
-        # z centers: halo slice center (value only matters off-boundary)
+        # halo center values only matter off-boundary
         cz_next = jnp.where(k == n - 1, cz[-1] + 1.0, cz_next)
+        cz_prev = jnp.where(k == 0, cz[0] - 1.0, cz_prev)
 
         sdf_ext = jnp.concatenate([sdf_prev, sdf, sdf_next], axis=0)
         un_ext = jnp.concatenate([un_prev, un, un_next], axis=0)
-        cz_ext = jnp.concatenate(
-            [cz[:1] - 1.0 * 0, cz, cz_next], axis=0
-        )  # index 0 (prev center) is never used for owned-edge positions
-        # ext z indices: 0 = prev halo, 1..lz = local, lz+1 = next halo
+        cz_ext = jnp.concatenate([cz_prev, cz, cz_next], axis=0)
 
-        # ---- cube validity for ext bases 0..lz (lz+1 cubes) ----
-        def corner(vol, c):
-            dx, dy, dz = (int(v) for v in CORNER_OFFSETS[c])
-            return vol[dz : dz + lz + 1, dy : dy + ny - 1, dx : dx + nx - 1]
-
-        csdf = [corner(sdf_ext, c) for c in range(8)]
-        valid = csdf[0] != INVALID_SDF
-        for c in range(1, 8):
-            valid &= csdf[c] != INVALID_SDF
-        valid &= corner(un_ext, 6) >= 1
-        # cube base 0 (global z0-1) belongs to the previous shard: it is
-        # used only for edge flags; bases 1..lz are owned (top one is
-        # automatically invalid on the last shard via the INVALID halo).
-        case = jnp.zeros(valid.shape, jnp.int32)
-        for c in range(8):
-            case |= (csdf[c] < iso).astype(jnp.int32) << c
-
-        # ---- owned canonical edges: ext owner z in 1..lz ----
-        own_sdf = sdf_ext[1 : lz + 1]  # == local sdf
-
-        def axis_edges(axis):
-            if axis == 0:
-                s0, s1 = own_sdf[:, :, :-1], own_sdf[:, :, 1:]
-                pad = ((0, 0), (0, 0), (0, 1))
-                c_axis = centers_xy[0]
-                p0 = c_axis[:-1].reshape(1, 1, -1)
-                p1 = c_axis[1:].reshape(1, 1, -1)
-            elif axis == 1:
-                s0, s1 = own_sdf[:, :-1, :], own_sdf[:, 1:, :]
-                pad = ((0, 0), (0, 1), (0, 0))
-                c_axis = centers_xy[1]
-                p0 = c_axis[:-1].reshape(1, -1, 1)
-                p1 = c_axis[1:].reshape(1, -1, 1)
-            else:
-                # z edges: owner ext 1..lz, partner ext 2..lz+1
-                s0 = sdf_ext[1 : lz + 1]
-                s1 = sdf_ext[2 : lz + 2]
-                pad = None
-                p0 = cz_ext[1 : lz + 1].reshape(-1, 1, 1)
-                p1 = cz_ext[2 : lz + 2].reshape(-1, 1, 1)
-            straddle = (s0 < iso) != (s1 < iso)
-            if linear_interp:
-                pvar = _edge_vertex_interp(s0, s1, p0, p1, iso)
-            else:
-                pvar = jnp.broadcast_to(p0, s0.shape)
-            pvar = jnp.broadcast_to(pvar, s0.shape)
-            if pad is not None:
-                straddle = jnp.pad(straddle, pad)
-                pvar = jnp.pad(pvar, pad)
-            return straddle, pvar
-
-        straddles, pvars = zip(*(axis_edges(a) for a in range(3)))
-
-        # adjacent-cube validity per owned edge; `valid` covers ext bases
-        # 0..lz which is exactly the range adjacent to owners 1..lz.
-        valid_pad = jnp.pad(valid, ((0, 0), (1, 1), (1, 1)))
-
-        def adjacent_valid(axis):
-            out = jnp.zeros((lz, ny, nx), jnp.bool_)
-            for a_, b_ in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                if axis == 0:
-                    # owner (z,y,x) e1..lz: cubes ext base (z-1..z, y-1..y, x)
-                    blk = valid_pad[:, :, 1 : 1 + nx]
-                    out |= blk[a_ : a_ + lz, b_ : b_ + ny, :]
-                elif axis == 1:
-                    blk = valid_pad[:, 1 : 1 + ny, :]
-                    out |= blk[a_ : a_ + lz, :, b_ : b_ + nx]
-                else:
-                    # z-edge owner ext z: cubes ext base z only
-                    blk = valid_pad[1 : 1 + lz, :, :]
-                    out |= blk[:, a_ : a_ + ny, b_ : b_ + nx]
-            return out
-
-        vflags = [straddles[a] & adjacent_valid(a) for a in range(3)]
-        vpos = []
-        px = jnp.broadcast_to(cx.reshape(1, 1, nx), (lz, ny, nx))
-        py = jnp.broadcast_to(cy.reshape(1, ny, 1), (lz, ny, nx))
-        pz = jnp.broadcast_to(
-            cz_ext[1 : lz + 1].reshape(lz, 1, 1), (lz, ny, nx)
+        own_lo = k * lz
+        vc, vp, vl, nf, fa, fl = _slab_emit(
+            sdf_ext, un_ext, (cx, cy, cz_ext),
+            own_lo, own_lo, own_lo + lz,
+            float(iso_level), bool(linear_interp),
+            vertex_capacity, face_capacity,
         )
-        for a in range(3):
-            coords = [px, py, pz]
-            coords[a] = pvars[a]
-            vpos.append(jnp.stack(coords, axis=-1))
-
-        # ---- local ids + global offset ----
-        flags_flat = jnp.concatenate([f.reshape(-1) for f in vflags])
-        pos_flat = jnp.concatenate([p.reshape(-1, 3) for p in vpos])
-        local_vid = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
-        my_count = jnp.sum(flags_flat.astype(jnp.int32))
-        counts = jax.lax.all_gather(my_count, AXIS)  # [n]
-        offset = jnp.sum(
-            jnp.where(jnp.arange(n) < k, counts, 0)
-        )
-        gvid_flat = local_vid + offset
-
-        scatter_idx = jnp.where(flags_flat, local_vid, vertex_capacity)
-        verts_out = (
-            jnp.zeros((vertex_capacity, 3), jnp.float32)
-            .at[scatter_idx]
-            .set(pos_flat, mode="drop")
-        )
-
-        gvid = gvid_flat.reshape(3, lz, ny, nx)
-
-        # ---- halo exchange 2: neighbor's first owned vid slice ----
-        gvid_next = _ppermute_fwd(gvid[:, :1], n)  # [3, 1, ny, nx]
-        # last shard never references it (its top cubes are invalid)
-        gvid_ext = jnp.concatenate([gvid, gvid_next], axis=1)  # [3, lz+1,...]
-
-        # ---- triangles for owned cubes (ext bases 1..lz) ----
-        case_own = case[1 : lz + 1]
-        valid_own = valid[1 : lz + 1]
-        edge_vids = []
-        for e in range(12):
-            a = int(EDGE_AXIS[e])
-            ox, oy, oz = (int(v) for v in CORNER_OFFSETS[EDGE_OWNER[e]])
-            # owned cube local base l (0..lz-1) -> owner ext z = l+1+oz
-            # -> gvid_ext index l + oz (gvid_ext[0] == owner ext 1)
-            edge_vids.append(
-                gvid_ext[a][oz : oz + lz, oy : oy + ny - 1, ox : ox + nx - 1]
-            )
-        edge_vids = jnp.stack(edge_vids, axis=-1)
-
-        tri_tab = jnp.asarray(TRI_TABLE)
-        te = tri_tab[case_own][..., :15].reshape(lz, ny - 1, nx - 1, 5, 3)
-        tri_valid = (te[..., 0] >= 0) & valid_own[..., None]
-        te_rev = te[..., ::-1]
-        gathered = jnp.take_along_axis(
-            edge_vids[..., None, :], jnp.clip(te_rev, 0, 11), axis=-1
-        )
-
-        tv_flat = tri_valid.reshape(-1)
-        tvid_flat = gathered.reshape(-1, 3)
-        tid = jnp.cumsum(tv_flat.astype(jnp.int32)) - 1
-        my_faces = jnp.sum(tv_flat.astype(jnp.int32))
-        fscatter = jnp.where(tv_flat, tid, face_capacity)
-        faces_out = (
-            jnp.zeros((face_capacity, 3), jnp.int32)
-            .at[fscatter]
-            .set(tvid_flat, mode="drop")
-        )
-
         return (
-            verts_out,
-            my_count.reshape(1),
-            faces_out,
-            my_faces.reshape(1),
+            jnp.stack(vc).reshape(1, 3),
+            vp, vl,
+            nf.reshape(1),
+            fa, fl,
         )
 
+    vec = P(AXIS)
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS)),
+        out_specs=(
+            P(AXIS, None),
+            ((vec, vec, vec),) * 3,
+            (vec,) * 3,
+            vec,
+            (vec,) * 3,
+            (vec,) * 3,
+        ),
     )
     return fn(state.sdf, state.update_num, cz_full)
 
@@ -359,7 +230,7 @@ def extract_mesh_sharded(
     linear_interp: bool = True,
     capacity_hint: Optional[int] = None,
 ) -> TriMesh:
-    """Host wrapper: sharded MC -> trimmed, concatenated welded mesh."""
+    """Host wrapper: sharded MC -> the dense driver's exact mesh."""
     n = mesh.shape[AXIS]
     nz, ny, nx = state.sdf.shape
     if capacity_hint is None:
@@ -367,25 +238,56 @@ def extract_mesh_sharded(
     vcap = int(capacity_hint)
     fcap = int(2 * capacity_hint)
     for _ in range(8):
-        verts, vc, faces, fc = marching_cubes_sharded(
+        vc, vp, vl, fc, fa, fl = marching_cubes_sharded(
             state, grid,
             iso_level=float(iso_level),
             linear_interp=bool(linear_interp),
             vertex_capacity=vcap, face_capacity=fcap, mesh=mesh,
         )
-        vc = np.asarray(vc)
-        fc = np.asarray(fc)
+        vc = np.asarray(vc)  # [n, 3]
+        fc = np.asarray(fc)  # [n]
         if vc.max(initial=0) <= vcap and fc.max(initial=0) <= fcap:
-            verts = np.asarray(verts).reshape(n, vcap, 3)
-            faces = np.asarray(faces).reshape(n, fcap, 3)
-            v_list = [verts[k, : vc[k]] for k in range(n)]
-            f_list = [faces[k, : fc[k]] for k in range(n)]
-            return TriMesh(
-                vertices=np.concatenate(v_list) if v_list else
-                np.zeros((0, 3), np.float32),
-                faces=np.concatenate(f_list) if f_list else
-                np.zeros((0, 3), np.int32),
-            )
+            pos_parts = [[], [], []]
+            lin_parts = [[], [], []]
+            face_parts = []
+            for k in range(n):
+                # slice on device so only real data crosses the host link
+                for a in range(3):
+                    n_k = int(vc[k, a])
+                    comps = [
+                        np.asarray(
+                            vp[a][c].reshape(n, vcap)[k, :n_k]
+                        )
+                        for c in range(3)
+                    ]
+                    pos_parts[a].append(np.stack(comps, axis=-1))
+                    lin_parts[a].append(
+                        np.asarray(vl[a].reshape(n, vcap)[k, :n_k])
+                    )
+                m_k = int(fc[k])
+                face_parts.append(
+                    (
+                        np.stack(
+                            [
+                                np.asarray(
+                                    fa[j].reshape(n, fcap)[k, :m_k]
+                                )
+                                for j in range(3)
+                            ],
+                            axis=-1,
+                        ),
+                        np.stack(
+                            [
+                                np.asarray(
+                                    fl[j].reshape(n, fcap)[k, :m_k]
+                                )
+                                for j in range(3)
+                            ],
+                            axis=-1,
+                        ),
+                    )
+                )
+            return _assemble_slab_parts(pos_parts, lin_parts, face_parts)
         vcap = max(2 * vcap, int(vc.max()))
         fcap = max(2 * fcap, int(fc.max()))
     raise RuntimeError("sharded marching cubes capacity loop diverged")
