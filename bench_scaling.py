@@ -1,0 +1,109 @@
+"""Scaling-efficiency benchmark: voxels/s over 1..N devices.
+
+BASELINE target: >= 80% scaling efficiency at N >= 2 (voxels/s measured
+at 1 chip -> 1 host -> N hosts). The grid is block-sharded along z; the
+warp fusion engine runs data-parallel per block with zero communication,
+so efficiency loss is dispatch + replication overhead only.
+
+On this machine (one tunneled TPU chip) the sweep runs on a virtual
+CPU-device mesh to validate the harness and the sharded code path; on a
+real pod slice, run it as-is per host after
+`vacancy_tpu.parallel.initialize_distributed()` and the same sweep
+measures real ICI/DCN scaling.
+
+Usage:
+  python bench_scaling.py [--n 192] [--views 12] [--devices 8] [--cpu]
+
+Prints one JSON line per device count plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=192, help="grid edge (n^3)")
+    p.add_argument("--views", type=int, default=12)
+    p.add_argument("--devices", type=int, default=0,
+                   help="max devices (0 = all available)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force a virtual CPU mesh of --devices devices")
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    if args.cpu:
+        n_dev = args.devices or 8
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_dev}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+
+    from bench import build_case
+    from vacancy_tpu.config import VoxelUpdateOption
+    from vacancy_tpu.grid import VoxelGridState
+    from vacancy_tpu.parallel import (
+        carve_views_warp_sharded,
+        grid_sharding,
+        make_device_mesh,
+    )
+
+    avail = len(jax.devices())
+    max_dev = min(args.devices or avail, avail)
+    grid, _, w2c, pp, fl, imgs = build_case(args.n, n_views=args.views)
+    opt = VoxelUpdateOption()
+
+    counts = [k for k in (1, 2, 4, 8, 16, 32) if k <= max_dev]
+    if max_dev not in counts:
+        counts.append(max_dev)
+    results = []
+    for k in counts:
+        mesh = make_device_mesh(k)
+        state = VoxelGridState.create(grid, sharding=grid_sharding(mesh))
+
+        def step(st):
+            return carve_views_warp_sharded(
+                st, grid, w2c, pp, fl, imgs, opt, mesh=mesh
+            )
+
+        st = step(state)
+        float(jnp.sum(st.sdf))  # compile + sync
+        t0 = time.perf_counter()
+        cur = state
+        for _ in range(args.iters):
+            cur = step(cur)
+        float(jnp.sum(cur.sdf))
+        dt = (time.perf_counter() - t0) / args.iters
+        rate = grid.num_voxels * args.views / dt
+        results.append((k, rate))
+        eff = rate / (results[0][1] * k) if k > 1 else 1.0
+        print(json.dumps({
+            "devices": k,
+            "fusions_per_s": round(rate, 1),
+            "scaling_efficiency": round(eff, 4),
+        }), flush=True)
+
+    if len(results) > 1:
+        k, rate = results[-1]
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{k}dev",
+            "value": round(rate / (results[0][1] * k), 4),
+            "unit": "fraction",
+            "vs_baseline": round(rate / (results[0][1] * k) / 0.8, 4),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,8 @@ from .mesh_utils import (
 )
 from .sharded import (
     carve_views_sharded,
+    carve_views_warp_sharded,
     extract_mesh_sharded,
+    initialize_distributed,
     marching_cubes_sharded,
 )
