@@ -1,0 +1,37 @@
+"""Pallas stream-compaction kernel vs np.nonzero."""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.ops.compact import compact_indices
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [100, 512, 4096, 40000])
+@pytest.mark.parametrize("density", [0.0, 0.03, 0.5, 1.0])
+def test_compact_matches_nonzero(seed, n, density):
+    rng = np.random.default_rng(seed + n)
+    flags = rng.random(n) < density
+    want = np.nonzero(flags)[0]
+    cap = max(64, int(len(want) * 1.25) + 8)
+    idx, total = compact_indices(flags, cap)
+    total = int(total)
+    assert total == len(want)
+    np.testing.assert_array_equal(np.asarray(idx)[:total], want)
+
+
+def test_compact_overflow_drops_tail():
+    flags = np.ones(2048, bool)
+    idx, total = compact_indices(flags, 100)
+    assert int(total) == 2048  # count stays exact
+    np.testing.assert_array_equal(np.asarray(idx)[:100], np.arange(100))
+
+
+def test_compact_single_and_boundary_flags():
+    flags = np.zeros(3000, bool)
+    flags[[0, 511, 512, 2999]] = True
+    idx, total = compact_indices(flags, 16)
+    assert int(total) == 4
+    np.testing.assert_array_equal(
+        np.asarray(idx)[:4], [0, 511, 512, 2999]
+    )

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: stream compaction via per-block one-hot matmuls.
+
+Compaction ("give me the source index of every set flag, packed") is the
+backbone of marching-cubes emission. XLA's scatter lowers to a serial
+~4-cycle-per-element loop on TPU (0.23 s for a 50M-element stream at
+256^3), so this kernel restructures it for the MXU:
+
+  * the flag stream is tiled into K-lane rows; per row, the exclusive
+    prefix (computed in one vectorized XLA pass) gives each valid
+    element's local output slot;
+  * inside the kernel, a one-hot matrix ``O[j, i] = (slot[i] == j) and
+    flag[i]`` reduced against the lane iota on the VPU yields, for every
+    local slot j, the source lane of its element -- compaction as a
+    vectorized reduction, no serial loop (and exact in int32, which an
+    MXU matmul is not: its bf16 passes round lane ids >= 256);
+  * rows are written to ``out[base_row : base_row + K]``. Bases come
+    from an exclusive scan of row counts, rows are processed in grid
+    order (TPU grids are sequential), and each row's K-wide store
+    overwrites the previous row's garbage tail -- so the packed prefix
+    of ``out`` is exact.
+
+Falls back to interpreter mode off-TPU (like ops/warp_gather.py).
+
+Measured status (v5e, 50M-element stream, 2% density): this kernel runs
+at ~400 ms vs ~230 ms for XLA's serial scatter. The packed output
+requires a dynamic, unaligned store window per row, which Mosaic lowers
+to a rolled + masked read-modify-write costing ~1 us/row regardless of
+row width -- variants with precomputed bases (no SMEM serial chain) and
+masked stores measure the same, so the window store itself is the
+floor. The marching-cubes emission therefore keeps the single
+index-scatter + gather compaction (see ops/marching_cubes.py); this
+kernel is retained as a correct, fully tested building block and a
+record of the measured design space.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 128  # lanes per compaction row (one lane tile: keeps the one-hot
+# rank-to-lane table a single [128, 128] tile, O(K) VPU work per element)
+R = 64  # rows per grid step
+_ALIGN = 1024  # Mosaic's dynamic-slice alignment for i32 (8 x 128 tile)
+_LANE = 128
+_WROWS = 16  # RMW window height: 2048 elems >= max offset (1023) + K
+_WIN = _WROWS * _LANE
+
+
+def _flat_roll(x: jax.Array, off: jax.Array) -> jax.Array:
+    """Roll a [S, 128] array by `off` in FLAT (row-major) element order.
+
+    Mosaic's roll is per-axis only; a flat roll decomposes into a lane
+    rotation plus a row shift, with lanes that wrapped taking one extra
+    row: element (r, l) must land at flat index r*128 + l + off."""
+    dl = off % _LANE
+    dr = off // _LANE
+    a = pltpu.roll(x, dl, 1)
+    a_dr = pltpu.roll(a, dr, 0)
+    a_dr1 = pltpu.roll(a, dr + 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= dl, a_dr, a_dr1)
+
+
+def _compact_kernel(kernel_rows: int, capacity: int):
+    def kernel(flags_ref, slot_ref, out_ref, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[0] = 0
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        flat_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (_WROWS, _LANE), 0
+        ) * _LANE + jax.lax.broadcasted_iota(jnp.int32, (_WROWS, _LANE), 1)
+
+        def row_body(r, _):
+            f = flags_ref[pl.ds(r, 1), :]  # i32[1, K]
+            slot = slot_ref[pl.ds(r, 1), :]  # i32[1, K] local output slot
+            onehot = (jj == slot) & (f > 0)
+            # local[j] = source lane of the element in slot j: an exact
+            # integer VPU lane-reduction (an MXU one-hot matmul would
+            # round lane ids >= 256 through its bf16 passes)
+            local = jnp.max(
+                jnp.where(onehot, lane_i, 0), axis=1, keepdims=True
+            )
+            row_id = step * kernel_rows + r
+            src = local.reshape(K // _LANE, _LANE) + row_id * K
+            # Running output base in SMEM scratch (the grid is
+            # sequential); rows past capacity park at the scratch tail.
+            # Dynamic stores must start on a (8, 128) tile, so roll the
+            # row to its in-window flat offset and blend it into an
+            # aligned read-modify-write window of _WROWS sublanes.
+            base = jnp.minimum(acc_ref[0], capacity)
+            rbase = (base // _ALIGN) * (_ALIGN // _LANE)
+            off = base - rbase * _LANE
+            padded = jnp.concatenate(
+                [
+                    src,
+                    jnp.zeros((_WROWS - K // _LANE, _LANE), jnp.int32),
+                ],
+                axis=0,
+            )
+            rolled = _flat_roll(padded, off)
+            mask = (flat_iota >= off) & (flat_iota < off + K)
+            win = out_ref[pl.ds(rbase, _WROWS), :]
+            out_ref[pl.ds(rbase, _WROWS), :] = jnp.where(mask, rolled, win)
+            acc_ref[0] = acc_ref[0] + jnp.sum(f)
+            return 0
+
+        jax.lax.fori_loop(0, kernel_rows, row_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_indices(flags: jax.Array, capacity: int):
+    """Packed source indices of the set flags, in order.
+
+    Args:
+      flags: bool/int [N] (any shape is flattened).
+      capacity: static output capacity (>= total set count for a full
+        result; the count is exact regardless).
+
+    Returns:
+      (idx i32[capacity], total i32): ``idx[:total]`` are the positions
+      of the set flags in ascending order; entries past ``total`` are
+      garbage. Positions past ``capacity`` are dropped.
+    """
+    flags = flags.reshape(-1).astype(jnp.int32)
+    n = flags.shape[0]
+    block = R * K
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        flags = jnp.pad(flags, (0, n_pad - n))
+    rows = flags.reshape(-1, K)  # [B, K]
+
+    # exclusive prefix within each row = local output slot
+    incl = jnp.cumsum(rows, axis=1)
+    slot = incl - rows
+    total = jnp.sum(incl[:, -1])
+    # scratch tail: base <= capacity, aligned window end <= capacity+_WIN;
+    # keep the 2-D output a whole number of windows
+    cap_rows = ((capacity + _WIN + _WIN - 1) // _WIN) * _WROWS
+
+    n_steps = rows.shape[0] // R
+    out = pl.pallas_call(
+        _compact_kernel(R, capacity),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((R, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (cap_rows, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, _LANE), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(rows, slot)
+    return out.reshape(-1)[:capacity], total
