@@ -348,8 +348,9 @@ def carve_views_warp_sharded(
             s, u = apply_view_update(s, u, dist, skip, opt)
             return (s, u), None
 
+        # unroll: see ops/fusion_warp.py (elides per-view state RW)
         (s, u), _ = jax.lax.scan(
-            body, (sdf, un), (imgs_, w2c_, pp_, fl_, maxs_)
+            body, (sdf, un), (imgs_, w2c_, pp_, fl_, maxs_), unroll=4
         )
         return s, u
 
