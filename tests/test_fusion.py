@@ -224,3 +224,32 @@ def test_behind_camera_skipped():
     )
     assert np.all(np.asarray(got.update_num) == 0)
     assert np.all(np.asarray(got.sdf) == INVALID_SDF)
+
+
+def test_roi_restricted_carving_matches_oracle():
+    """ROI variants (reference voxel_carver.cc:394-413): only pixels
+    inside the inclusive ROI participate; projections outside it follow
+    the outside-image policy."""
+    grid, cam, sdf_img = _setup(7)
+    h, w = sdf_img.shape
+    roi = (5, 4, 20, 17)  # x0, y0, x1, y1 inclusive sub-window
+    for outside in (UpdateOutsideImage.NONE, UpdateOutsideImage.MAX):
+        opt = VoxelUpdateOption(
+            voxel_update=VoxelUpdate.MAX,
+            sdf_interp=SdfInterpolation.NN,
+            update_outside=outside,
+        )
+        state = VoxelGridState.create(grid)
+        got = carve_views(
+            state, grid, cam.w2c, cam.principal_point, cam.focal_length,
+            np.asarray(sdf_img), roi, opt,
+        )
+        want_sdf, want_un = oracle_carve(
+            np.asarray(state.sdf), np.asarray(state.update_num), grid,
+            np.asarray(cam.w2c), np.asarray(cam.principal_point),
+            np.asarray(cam.focal_length), sdf_img, roi, opt,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.sdf), want_sdf, rtol=1e-5, atol=2e-5
+        )
+        np.testing.assert_array_equal(np.asarray(got.update_num), want_un)

@@ -300,6 +300,8 @@ def main(argv=None):
 
     b = sub.add_parser("bunny", help="bundled 6-view bunny (examples.cc)")
     b.add_argument("--out", default=None)
+    b.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     b.add_argument("--resolution", type=float, default=10.0)
     b.add_argument("--grid-n", type=int, default=None,
                    help="target ~N^3 grid (overrides --resolution)")
@@ -310,12 +312,16 @@ def main(argv=None):
     b.add_argument("--resume", action="store_true")
 
     t = sub.add_parser("turntable", help="synthetic turntable at N^3")
+    t.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     t.add_argument("--n", type=int, default=256)
     t.add_argument("--views", type=int, default=36)
     t.add_argument("--sharded", action="store_true")
     t.add_argument("--out", default=None)
 
     args = p.parse_args(argv)
+    from .utils.timing import trace as profiler_trace
+
     if args.cmd == "bunny":
         res = args.resolution
         if args.grid_n:
@@ -323,19 +329,21 @@ def main(argv=None):
                 b - a for a, b in zip(BUNNY_BB_MIN, BUNNY_BB_MAX)
             )
             res = extent / args.grid_n
-        out = run_bunny(
-            out_dir=args.out,
-            resolution=res,
-            tsdf=args.tsdf,
-            write_artifacts=not args.no_artifacts,
-            checkpoint=args.checkpoint,
-            resume=args.resume,
-        )
+        with profiler_trace(args.profile):
+            out = run_bunny(
+                out_dir=args.out,
+                resolution=res,
+                tsdf=args.tsdf,
+                write_artifacts=not args.no_artifacts,
+                checkpoint=args.checkpoint,
+                resume=args.resume,
+            )
     else:
-        out = run_turntable(
-            n=args.n, n_views=args.views, sharded=args.sharded,
-            out_dir=args.out,
-        )
+        with profiler_trace(args.profile):
+            out = run_turntable(
+                n=args.n, n_views=args.views, sharded=args.sharded,
+                out_dir=args.out,
+            )
     print(json.dumps(out, default=str))
 
 

@@ -1,6 +1,6 @@
 from .common import c2w, degrees, radians
 from .log import LOGD, LOGE, LOGI, LOGW, LogLevel, set_log_level
-from .timing import Timer, device_timer
+from .timing import Timer, device_timer, trace
 
 
 def zfill(n: int, width: int = 5) -> str:

@@ -57,3 +57,17 @@ def device_timer(label: str = "", result_holder: Optional[dict] = None):
         out["label"] = label
         if result_holder is not None:
             result_holder.update(out)
+
+
+@contextmanager
+def trace(log_dir: Optional[str] = None):
+    """jax.profiler trace scope (SURVEY section 5: tracing/profiling).
+
+    With a log_dir, captures a TensorBoard-viewable device trace of
+    everything inside the scope; with None it is a no-op, so call sites
+    can wrap hot phases unconditionally."""
+    if log_dir is None:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield
