@@ -253,3 +253,48 @@ def test_roi_restricted_carving_matches_oracle():
             np.asarray(got.sdf), want_sdf, rtol=1e-5, atol=2e-5
         )
         np.testing.assert_array_equal(np.asarray(got.update_num), want_un)
+
+
+def test_ortho_camera_carving_matches_oracle():
+    """Orthographic carving: u = camera x, v = camera y
+    (camera.cc:196-212 through the virtual Project in the hot loop)."""
+    from vacancy_tpu.camera import OrthoCamera
+    from vacancy_tpu.ops.fusion import carve_masks
+
+    rng = np.random.default_rng(8)
+    # grid coordinates inside the image's pixel space (ortho has no
+    # intrinsics: image coords ARE camera coords)
+    grid = GridSpec(bb_min=(2.0, 3.0, 0.5), bb_max=(28.1, 19.1, 8.6),
+                    resolution=1.0)
+    h, w = 24, 32
+    cam = OrthoCamera.create(w, h)
+    mask = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
+
+    state = VoxelGridState.create(grid)
+    got, sdf_imgs = carve_masks(state, grid, cam, mask)
+
+    # oracle: project with identity u=x, v=y
+    sdf_img = np.asarray(sdf_imgs[0])
+    opt = VoxelUpdateOption()
+    cx, cy, cz = (grid.axis_centers(a) for a in range(3))
+    nz, ny, nx = grid.shape_zyx
+    want = np.full((nz, ny, nx), INVALID_SDF, np.float32)
+    want_un = np.zeros((nz, ny, nx), np.int32)
+    for zi in range(nz):
+        for yi in range(ny):
+            for xi in range(nx):
+                u, v = cx[xi], cy[yi]  # identity pose: camera == world
+                if cz[zi] < 0 or u < 0 or v < 0 or u > w - 1 or v > h - 1:
+                    continue
+                pu0, pv0 = int(np.floor(u)), int(np.floor(v))
+                pu1, pv1 = min(pu0 + 1, w - 1), min(pv0 + 1, h - 1)
+                lu, lv = u - pu0, v - pv0
+                d = ((1 - lu) * (1 - lv) * sdf_img[pv0, pu0]
+                     + lu * (1 - lv) * sdf_img[pv0, pu1]
+                     + (1 - lu) * lv * sdf_img[pv1, pu0]
+                     + lu * lv * sdf_img[pv1, pu1])
+                want[zi, yi, xi] = d
+                want_un[zi, yi, xi] = 1
+    np.testing.assert_allclose(np.asarray(got.sdf), want, rtol=1e-5,
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.update_num), want_un)

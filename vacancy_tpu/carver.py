@@ -107,15 +107,18 @@ class VoxelCarver:
                 sdf_minmax_normalize=self._option.sdf_minmax_normalize,
             )
             return np.asarray(sdf_images[0])
+        ortho = not hasattr(camera, "principal_point")
+        zero2 = jnp.zeros((2,), jnp.float32)
         self._state = carve_views(
             self._state,
             self._grid,
             camera.w2c,
-            camera.principal_point,
-            camera.focal_length,
+            zero2 if ortho else camera.principal_point,
+            zero2 if ortho else camera.focal_length,
             jnp.asarray(sdf, jnp.float32),
             roi=roi,
             opt=opt,
+            projection="ortho" if ortho else "pinhole",
         )
         return np.asarray(sdf)
 

@@ -96,6 +96,7 @@ def _carve_one_view(
     max_sdf: jax.Array,  # f32[] per-image max (for the MAX outside policy)
     roi: Tuple[int, int, int, int],
     opt: VoxelUpdateOption,
+    projection: str = "pinhole",
 ) -> Tuple[jax.Array, jax.Array]:
     """Apply one view's update to (sdf, update_num). Pure; shapes preserved."""
     x0, y0, x1, y1 = roi
@@ -103,9 +104,16 @@ def _carve_one_view(
     # world -> camera (reference voxel_carver.cc:453)
     pc = pos_w @ w2c[:3, :3].T + w2c[:3, 3]
     z = pc[..., 2]
-    # pinhole projection (camera.cc:131-137)
-    u = focal_length[0] / z * pc[..., 0] + principal_point[0]
-    v = focal_length[1] / z * pc[..., 1] + principal_point[1]
+    if projection == "pinhole":
+        # pinhole projection (camera.cc:131-137)
+        u = focal_length[0] / z * pc[..., 0] + principal_point[0]
+        v = focal_length[1] / z * pc[..., 1] + principal_point[1]
+    elif projection == "ortho":
+        # orthographic: identity on camera x, y (camera.cc:196-212)
+        u = pc[..., 0]
+        v = pc[..., 1]
+    else:
+        raise ValueError(f"unknown projection {projection!r}")
 
     # skip voxels behind the camera (voxel_carver.cc:456-458); z == 0
     # produces non-finite uv which we also skip (the reference's behavior
@@ -197,6 +205,7 @@ def fold_views(
     max_sdfs: jax.Array,  # f32[V]
     roi: Tuple[int, int, int, int],
     opt: VoxelUpdateOption,
+    projection: str = "pinhole",
 ) -> Tuple[jax.Array, jax.Array]:
     """Sequentially fold a stacked view batch into (sdf, update_num).
 
@@ -208,13 +217,13 @@ def fold_views(
         s, un = carry
         return _carve_one_view(
             s, un, pos_w, w2c[i], principal_point[i], focal_length[i],
-            sdf_images[i], max_sdfs[i], roi, opt,
+            sdf_images[i], max_sdfs[i], roi, opt, projection,
         )
 
     return jax.lax.fori_loop(0, v_count, body, (sdf, update_num))
 
 
-@partial(jax.jit, static_argnames=("grid", "roi", "opt"))
+@partial(jax.jit, static_argnames=("grid", "roi", "opt", "projection"))
 def carve_views(
     state: VoxelGridState,
     grid: GridSpec,
@@ -224,6 +233,7 @@ def carve_views(
     sdf_images: jax.Array,  # f32[V, H, W] or f32[H, W]
     roi: Optional[Tuple[int, int, int, int]] = None,
     opt: VoxelUpdateOption = VoxelUpdateOption(),
+    projection: str = "pinhole",
 ) -> VoxelGridState:
     """Fuse a batch of views into the grid state (the reference's Carve).
 
@@ -246,7 +256,7 @@ def carve_views(
 
     sdf, un = fold_views(
         state.sdf, state.update_num, pos_w, w2c, principal_point,
-        focal_length, sdf_images, max_sdfs, roi, opt,
+        focal_length, sdf_images, max_sdfs, roi, opt, projection,
     )
     return VoxelGridState(sdf=sdf, update_num=un)
 
@@ -278,13 +288,23 @@ def carve_masks(
         )
     )(masks)
     w2c = camera.w2c
-    pp = camera.principal_point
-    fl = camera.focal_length
+    # ortho cameras project u = x, v = y with no intrinsics
+    # (camera.cc:196-212); carve_views dispatches on `projection`
+    ortho = not hasattr(camera, "principal_point")
+    if ortho:
+        zero2 = jnp.zeros(w2c.shape[:-2] + (2,), jnp.float32)
+        pp = fl = zero2
+    else:
+        pp = camera.principal_point
+        fl = camera.focal_length
     if single:
         sdf_b = sdf_images[0]
         if w2c.ndim == 3:
             w2c, pp, fl = w2c[0], pp[0], fl[0]
     else:
         sdf_b = sdf_images
-    new_state = carve_views(state, grid, w2c, pp, fl, sdf_b, roi, opt)
+    new_state = carve_views(
+        state, grid, w2c, pp, fl, sdf_b, roi, opt,
+        projection="ortho" if ortho else "pinhole",
+    )
     return new_state, sdf_images
