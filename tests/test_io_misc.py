@@ -136,3 +136,16 @@ def test_chamfer_and_hausdorff_known_values():
 def test_bbox_diagonal():
     pts = np.array([[0, 0, 0], [3, 4, 0]], np.float32)
     assert np.isclose(bbox_diagonal(pts), 5.0)
+
+
+def test_convert_image_truncates_like_static_cast():
+    from vacancy_tpu.io import convert_image
+
+    img = np.array([[0.0, 0.4, 0.9], [1.0, 1.6, -0.7]], np.float32)
+    out = convert_image(img, np.uint8, scale=255.0)
+    # static_cast<uint8_t> truncates toward zero
+    np.testing.assert_array_equal(out[0], [0, int(0.4 * 255), int(0.9 * 255)])
+    assert out.dtype == np.uint8
+    back = convert_image(out, np.float32, scale=1.0 / 255.0)
+    assert back.dtype == np.float32
+    assert abs(back[1, 0] - out[1, 0] / 255.0) < 1e-7

@@ -61,3 +61,16 @@ def face_id_to_random_color(
     valid = face_id >= 0
     out[valid] = lut[face_id[valid]].astype(np.uint8)
     return out
+
+
+def convert_image(
+    image: np.ndarray, dtype, scale: float = 1.0
+) -> np.ndarray:
+    """Scaled dtype conversion (reference Image::ConvertTo,
+    image.h:132-151): dst = static_cast<TT>(scale * src), i.e. C-style
+    truncation toward zero for integer targets."""
+    out = np.asarray(image, np.float64) * np.float32(scale)
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        out = np.trunc(out)
+    return out.astype(dtype)
