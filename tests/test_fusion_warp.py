@@ -141,3 +141,51 @@ def test_warp_truncation_semantics():
     both = (e_un >= 1) & (w_un >= 1) & (e_un == w_un)
     err = np.abs(np.asarray(exact.sdf)[both] - np.asarray(warp.sdf)[both])
     assert np.quantile(err, 0.99) < 0.1
+
+
+def test_blocked_warp_equals_unblocked():
+    from vacancy_tpu.ops.fusion_warp import (
+        carve_views_warp,
+        carve_views_warp_blocked,
+    )
+
+    rng = np.random.default_rng(9)
+    grid = GridSpec(
+        bb_min=(-1.0, -1.0, 0.5), bb_max=(1.05, 1.05, 2.55),
+        resolution=0.125,
+    )
+    nz = grid.shape_zyx[0]
+    n_views, h, w = 3, 24, 32
+    imgs = rng.normal(size=(n_views, h, w)).astype(np.float32)
+    cams = []
+    for i in range(n_views):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * i - 0.2, 0.1, -0.3 * i]
+        cams.append(
+            PinholeCamera.create(
+                w, h, c2w=c2w,
+                principal_point=np.array([15.5, 11.5], np.float32),
+                focal_length=np.array([20.0, 20.0], np.float32),
+            )
+        )
+    w2c = jnp.stack([c.w2c for c in cams])
+    pp = jnp.stack([c.principal_point for c in cams])
+    fl = jnp.stack([c.focal_length for c in cams])
+    opt = VoxelUpdateOption()
+
+    full = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl,
+        jnp.asarray(imgs), opt,
+    )
+    for chunk in (4, 8):
+        assert nz % chunk == 0
+        blocked = carve_views_warp_blocked(
+            VoxelGridState.create(grid), grid, w2c, pp, fl,
+            jnp.asarray(imgs), opt, chunk_nz=chunk,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blocked.sdf), np.asarray(full.sdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blocked.update_num), np.asarray(full.update_num)
+        )

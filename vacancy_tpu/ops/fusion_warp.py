@@ -169,3 +169,100 @@ def carve_views_warp(
         unroll=4,
     )
     return VoxelGridState(sdf=sdf, update_num=un)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid", "opt", "linear", "chunk_nz"),
+    donate_argnums=(0, 1),
+)
+def _carve_chunk(
+    sdf: jax.Array,  # f32[NZ, NY, NX] full state (donated)
+    update_num: jax.Array,  # i32[NZ, NY, NX] (donated)
+    grid: GridSpec,
+    z_lo: jax.Array,  # i32[] chunk start plane
+    w2c: jax.Array,
+    principal_point: jax.Array,
+    focal_length: jax.Array,
+    sdf_images: jax.Array,
+    max_sdfs: jax.Array,
+    opt: VoxelUpdateOption,
+    linear: bool,
+    chunk_nz: int,
+):
+    cx_ = jnp.asarray(grid.axis_centers(0))
+    cy_ = jnp.asarray(grid.axis_centers(1))
+    cz_full = jnp.asarray(grid.axis_centers(2))
+    ny, nx = sdf.shape[1], sdf.shape[2]
+
+    s = jax.lax.dynamic_slice(sdf, (z_lo, 0, 0), (chunk_nz, ny, nx))
+    u = jax.lax.dynamic_slice(
+        update_num, (z_lo, 0, 0), (chunk_nz, ny, nx)
+    )
+    cz = jax.lax.dynamic_slice(cz_full, (z_lo,), (chunk_nz,))
+
+    def body(carry, xs):
+        cs, cu = carry
+        img, w2c_i, pp_i, fl_i, max_i = xs
+        dist, skip, outside = _warp_dist_one_view(
+            img, w2c_i, pp_i, fl_i, cx_, cy_, cz, linear
+        )
+        if opt.update_outside == UpdateOutsideImage.NONE:
+            skip = skip | outside
+        elif opt.update_outside == UpdateOutsideImage.MAX:
+            dist = jnp.where(outside, max_i, dist)
+        cs, cu = apply_view_update(cs, cu, dist, skip, opt)
+        return (cs, cu), None
+
+    (s, u), _ = jax.lax.scan(
+        body, (s, u), (sdf_images, w2c, principal_point, focal_length,
+                       max_sdfs),
+        unroll=4,
+    )
+    sdf = jax.lax.dynamic_update_slice(sdf, s, (z_lo, 0, 0))
+    update_num = jax.lax.dynamic_update_slice(update_num, u, (z_lo, 0, 0))
+    return sdf, update_num
+
+
+def carve_views_warp_blocked(
+    state: VoxelGridState,
+    grid: GridSpec,
+    w2c: jax.Array,
+    principal_point: jax.Array,
+    focal_length: jax.Array,
+    sdf_images: jax.Array,
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+    linear: bool = True,
+    chunk_nz: int = 128,
+) -> VoxelGridState:
+    """Warp fusion for grids whose per-view fields exceed HBM (1024^3 on
+    one chip): a host loop over z chunks, each fused through the same
+    warp scan with the state buffers DONATED so the update happens in
+    place -- peak memory is the state plus one chunk's temporaries.
+    Identical result to carve_views_warp (the warp is separable per z)."""
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        principal_point = principal_point[None]
+        focal_length = focal_length[None]
+        sdf_images = sdf_images[None]
+    nz = state.sdf.shape[0]
+    if nz <= chunk_nz:
+        return carve_views_warp(
+            state, grid, w2c, principal_point, focal_length, sdf_images,
+            opt, linear,
+        )
+    # exact tiling only: a clamped/overlapping final chunk would re-fuse
+    # voxels and double-count update_num
+    if nz % chunk_nz != 0:
+        raise ValueError(
+            f"chunk_nz {chunk_nz} must divide the grid z extent {nz}"
+        )
+    max_sdfs = jnp.max(sdf_images, axis=(1, 2))
+    sdf, un = state.sdf, state.update_num
+    for k in range(nz // chunk_nz):
+        z_lo = k * chunk_nz
+        sdf, un = _carve_chunk(
+            sdf, un, grid, jnp.int32(z_lo), w2c, principal_point,
+            focal_length, sdf_images, max_sdfs, opt, linear, chunk_nz,
+        )
+    return VoxelGridState(sdf=sdf, update_num=un)

@@ -513,11 +513,12 @@ def _slab_emit(
         "linear_interp",
         "vertex_capacity",
         "face_capacity",
+        "edge",
     ),
 )
 def marching_cubes_slab(
-    sdf_pad: jax.Array,  # f32[nz+2, ny, nx], INVALID-padded in z
-    un_pad: jax.Array,  # i32[nz+2, ny, nx], 0-padded in z
+    sdf: jax.Array,  # f32[nz, ny, nx] UNPADDED grid state
+    un: jax.Array,  # i32[nz, ny, nx]
     grid: GridSpec,
     slice_lo: jax.Array,  # i32[] global z of the first owned-candidate plane
     own_lo: jax.Array,  # i32[] first owned voxel z
@@ -527,24 +528,50 @@ def marching_cubes_slab(
     linear_interp: bool = True,
     vertex_capacity: int = 1 << 18,
     face_capacity: int = 1 << 19,
+    edge: str = "middle",
 ):
     """One z-slab of marching cubes, emitting global edge keys.
 
-    The slab sees voxel planes ``[slice_lo - 1, slice_lo + slab_nz]``
-    (clamped by the caller so the slice is in-range) and *owns* edges
-    whose owner voxel z is in ``[own_lo, own_hi)`` plus cubes based
-    there. See `_slab_emit` for the output contract.
+    The slab logically sees voxel planes ``[slice_lo - 1, slice_lo +
+    slab_nz]`` and *owns* edges whose owner voxel z is in ``[own_lo,
+    own_hi)`` plus cubes based there. The grid state is taken UNPADDED
+    (an 8.6 GB state at 1024^3 cannot afford a padded copy); the
+    out-of-range halo plane of a boundary slab is synthesized in-slab:
+    ``edge="bottom"`` slices from plane 0 and shifts down one plane with
+    an INVALID plane 0; ``edge="top"`` slices ending at the last plane
+    and shifts up with an INVALID top plane. See `_slab_emit` for the
+    output contract.
     """
-    ny, nx = sdf_pad.shape[1], sdf_pad.shape[2]
+    nz, ny, nx = sdf.shape
     s_nz = slab_nz + 2  # local voxel planes including halo
 
-    sl_sdf = jax.lax.dynamic_slice(
-        sdf_pad, (slice_lo, 0, 0), (s_nz, ny, nx)
-    )
-    sl_un = jax.lax.dynamic_slice(un_pad, (slice_lo, 0, 0), (s_nz, ny, nx))
+    if edge == "bottom":
+        start = 0
+    elif edge == "top":
+        start = nz - s_nz
+    elif edge == "middle":
+        start = slice_lo - 1
+    else:
+        raise ValueError(f"unknown edge mode {edge!r}")
 
-    cz_pad = jnp.pad(jnp.asarray(grid.axis_centers(2)), (1, 1))
-    cz_sl = jax.lax.dynamic_slice(cz_pad, (slice_lo,), (s_nz,))
+    sl_sdf = jax.lax.dynamic_slice(sdf, (start, 0, 0), (s_nz, ny, nx))
+    sl_un = jax.lax.dynamic_slice(un, (start, 0, 0), (s_nz, ny, nx))
+    cz_full = jnp.asarray(grid.axis_centers(2))
+    cz_sl = jax.lax.dynamic_slice(
+        jnp.pad(cz_full, (1, 1)), (start + 1,), (s_nz,)
+    )
+
+    if edge == "bottom":
+        # shift down one plane; plane 0 becomes the missing -z halo
+        sl_sdf = jnp.roll(sl_sdf, 1, axis=0).at[0].set(INVALID_SDF)
+        sl_un = jnp.roll(sl_un, 1, axis=0).at[0].set(0)
+        cz_sl = jnp.roll(cz_sl, 1)
+    elif edge == "top":
+        # shift up one plane; the last plane becomes the missing +z halo
+        sl_sdf = jnp.roll(sl_sdf, -1, axis=0).at[-1].set(INVALID_SDF)
+        sl_un = jnp.roll(sl_un, -1, axis=0).at[-1].set(0)
+        cz_sl = jnp.roll(cz_sl, -1)
+
     centers = (
         jnp.asarray(grid.axis_centers(0)),
         jnp.asarray(grid.axis_centers(1)),
@@ -619,11 +646,6 @@ def extract_mesh_blocked(
     vcap = int(capacity_hint)
     fcap = int(2 * capacity_hint)
 
-    sdf_pad = jnp.pad(
-        state.sdf, ((1, 1), (0, 0), (0, 0)), constant_values=INVALID_SDF
-    )
-    un_pad = jnp.pad(state.update_num, ((1, 1), (0, 0), (0, 0)))
-
     pos_parts = [[], [], []]  # per axis: list of [n_k, 3] arrays
     lin_parts = [[], [], []]
     face_parts = []  # list of (ax [m,3], lin [m,3])
@@ -634,10 +656,15 @@ def extract_mesh_blocked(
         own_hi = min(own_lo + slab_nz, nz)
         # keep the slice in-range; ownership masks handle the overlap
         slice_lo = min(own_lo, nz - slab_nz)
+        # boundary slabs synthesize their missing halo plane in-slab
+        # (the state is sliced unpadded: no full-grid padded copy)
+        edge = (
+            "bottom" if own_lo == 0 else "top" if own_hi == nz else "middle"
+        )
         for _ in range(8):
             vc, vp, vl, nf, fa, fl = marching_cubes_slab(
-                sdf_pad,
-                un_pad,
+                state.sdf,
+                state.update_num,
                 grid,
                 jnp.int32(slice_lo),
                 jnp.int32(own_lo),
@@ -647,6 +674,7 @@ def extract_mesh_blocked(
                 linear_interp=bool(linear_interp),
                 vertex_capacity=vcap,
                 face_capacity=fcap,
+                edge=edge,
             )
             counts = [int(c) for c in vc]
             nf = int(nf)
