@@ -8,13 +8,13 @@ of) views into it inside a single compiled step.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
 
 from .camera import PinholeCamera, stack_cameras
-from .config import VoxelCarverOption, VoxelUpdateOption
+from .config import VoxelCarverOption
 from .grid import GridSpec, VoxelGridState
 from .mesh import Mesh
 from .ops.extract_voxel import extract_voxel_mesh

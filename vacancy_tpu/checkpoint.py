@@ -12,7 +12,6 @@ load with the requested sharding.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional, Tuple

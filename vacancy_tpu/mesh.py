@@ -10,7 +10,7 @@ hash-based O(n log n) weld instead of the reference's O(n^2) scan
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import argparse
 import json
 import os
 import time
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

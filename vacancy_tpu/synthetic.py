@@ -8,12 +8,11 @@ Rendering is itself done on device (ray-free: project analytic spheres).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
 from .camera import PinholeCamera
-from .io.tum import quat_to_rotmat
 
 
 def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)):

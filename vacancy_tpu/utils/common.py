@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 _DEG2RAD = 0.01745329251994329576923690768489
