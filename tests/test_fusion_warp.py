@@ -189,3 +189,31 @@ def test_blocked_warp_equals_unblocked():
         np.testing.assert_array_equal(
             np.asarray(blocked.update_num), np.asarray(full.update_num)
         )
+
+
+def test_warp_nn_close_to_exact_nn():
+    """NN mode: the two-pass warp snaps u at the rounded row, so it picks
+    the exact engine's pixel except near half-pixel boundaries."""
+    from vacancy_tpu.config import SdfInterpolation
+
+    grid, w2c, pp, fl, sdf_imgs = _setup()
+    opt = VoxelUpdateOption(sdf_interp=SdfInterpolation.NN)
+    h, w = sdf_imgs.shape[1:]
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt,
+    )
+    warp = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, sdf_imgs, opt,
+        linear=False,
+    )
+    e_sdf = np.asarray(exact.sdf)
+    w_sdf = np.asarray(warp.sdf)
+    touched = np.asarray(exact.update_num) >= 1
+    np.testing.assert_array_equal(touched, np.asarray(warp.update_num) >= 1)
+    # most voxels sample the identical pixel...
+    same = np.isclose(e_sdf[touched], w_sdf[touched], atol=1e-6)
+    assert same.mean() > 0.9, same.mean()
+    # ...and the rest differ by at most a neighboring-pixel SDF step
+    err = np.abs(e_sdf[touched] - w_sdf[touched])
+    assert err.max() < 0.25, err.max()
