@@ -53,8 +53,15 @@ def test_sdf2d_matches_reference_bitwise(bunny_run):
         )
 
 
+def _load_golden(name: str) -> Mesh:
+    if name.endswith(".npz"):
+        z = np.load(os.path.join(GOLDEN, name))
+        return Mesh(vertices=z["vertices"], faces=z["faces"])
+    return Mesh.load_ply(os.path.join(GOLDEN, name))
+
+
 def _assert_mesh_parity(ours: Mesh, gold_name: str, hausdorff_mm: float):
-    gold = Mesh.load_ply(os.path.join(GOLDEN, gold_name))
+    gold = _load_golden(gold_name)
     assert ours.num_vertices == gold.num_vertices
     assert ours.num_faces == gold.num_faces
     ch, _, _ = chamfer_distance(ours, gold, max_points=100_000)
@@ -82,4 +89,4 @@ def test_marching_cubes_nointerp_matches_reference(bunny_run):
 
 def test_voxel_mesh_matches_reference(bunny_run):
     tag, carver, _ = bunny_run
-    _assert_mesh_parity(carver.extract_voxel(), f"voxel_{tag}.ply", 0.01)
+    _assert_mesh_parity(carver.extract_voxel(), f"voxel_{tag}.npz", 0.01)

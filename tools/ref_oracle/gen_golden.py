@@ -102,9 +102,18 @@ def main() -> int:
             for name in (
                 f"surface_{tag}.ply",
                 f"surface_nointerp_{tag}.ply",
-                f"voxel_{tag}.ply",
             ):
                 shutil.copy(os.path.join(out, name), GOLDEN)
+            # the voxel-face meshes are huge as ascii PLY (~25 MB each);
+            # store them as compressed verts/faces instead
+            from vacancy_tpu.mesh import Mesh
+
+            vm = Mesh.load_ply(os.path.join(out, f"voxel_{tag}.ply"))
+            np.savez_compressed(
+                os.path.join(GOLDEN, f"voxel_{tag}.npz"),
+                vertices=vm.vertices,
+                faces=vm.faces,
+            )
         np.savez_compressed(os.path.join(GOLDEN, "bunny_sdf2d.npz"), **sdf2d)
     print(f"golden files written to {GOLDEN}")
     return 0
