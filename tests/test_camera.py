@@ -99,3 +99,24 @@ def test_stack_cameras():
     np.testing.assert_allclose(
         np.asarray(batched.w2c[2]), np.asarray(cams[2].w2c)
     )
+
+
+def test_fov_setters():
+    """with_fov_x / with_fov_y match the reference conversions
+    (camera.cc:106-120): both set fx == fy from the given axis."""
+    cam = PinholeCamera.create(320, 240, fov_y_deg=45.0)
+    # set_fov_y: f = h/2 / tan(rad(fov)/2), fx = fy
+    c2 = cam.with_fov_y(30.0)
+    f = 240 * 0.5 / np.tan(np.radians(30.0) * 0.5)
+    np.testing.assert_allclose(np.asarray(c2.focal_length), [f, f], rtol=1e-6)
+    np.testing.assert_allclose(float(c2.fov_y), 30.0, rtol=1e-5)
+    # set_fov_x: f = w/2 / tan(rad(fov)/2), fy = fx
+    c3 = cam.with_fov_x(60.0)
+    f = 320 * 0.5 / np.tan(np.radians(60.0) * 0.5)
+    np.testing.assert_allclose(np.asarray(c3.focal_length), [f, f], rtol=1e-6)
+    np.testing.assert_allclose(float(c3.fov_x), 60.0, rtol=1e-5)
+    # plain setters
+    c4 = cam.with_principal_point(np.array([10.0, 20.0]))
+    np.testing.assert_array_equal(np.asarray(c4.principal_point), [10, 20])
+    c5 = cam.with_focal_length(np.array([100.0, 200.0]))
+    np.testing.assert_array_equal(np.asarray(c5.focal_length), [100, 200])

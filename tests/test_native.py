@@ -47,3 +47,20 @@ def test_native_ply_roundtrip(tmp_path):
     back2 = Mesh.load_ply(p2)
     np.testing.assert_allclose(back2.vertices, mesh.vertices, rtol=1e-5)
     np.testing.assert_array_equal(back2.faces, mesh.faces)
+
+
+def test_native_parse_float3_matches_loadtxt():
+    from vacancy_tpu.io.native import available, native_parse_float3
+
+    if not available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    rows = rng.normal(size=(257, 3)).astype(np.float32)
+    buf = "\n".join(f"{x:g} {y:g} {z:g}" for x, y, z in rows).encode()
+    out = native_parse_float3(buf, len(rows))
+    assert out is not None
+    # contract: identical to the numpy fallback parse of the same buffer
+    ref = np.loadtxt(buf.decode().splitlines(), dtype=np.float32, ndmin=2)
+    np.testing.assert_array_equal(out, ref)
+    # short buffer -> None (caller falls back)
+    assert native_parse_float3(buf, len(rows) + 1) is None

@@ -193,3 +193,30 @@ def test_state_create_with_sharding():
     mesh = make_device_mesh(8)
     state = VoxelGridState.create(grid, sharding=grid_sharding(mesh))
     assert state.sdf.sharding.num_devices == 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_warp_fusion_bitwise_equal(n_shards):
+    """carve_views_warp_sharded == carve_views_warp bit-for-bit (the warp
+    engine is separable per z slice, so z sharding must not change any
+    voxel's update). Guards the check_vma=False shard_map path."""
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+    from vacancy_tpu.parallel import carve_views_warp_sharded
+
+    _require_devices(n_shards)
+    grid, w2c, pp, fl, imgs, _, opt = _setup_grid_and_views(seed=7)
+    mesh = make_device_mesh(n_shards)
+
+    dense = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt
+    )
+    sharded = carve_views_warp_sharded(
+        VoxelGridState.create(grid, sharding=grid_sharding(mesh)),
+        grid, w2c, pp, fl, imgs, opt=opt, mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.sdf), np.asarray(dense.sdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.update_num), np.asarray(dense.update_num)
+    )

@@ -91,6 +91,34 @@ class PinholeCamera:
             w2c=jnp.asarray(_inverse_pose(c2w), jnp.float32),
         )
 
+    def with_principal_point(self, pp: np.ndarray) -> "PinholeCamera":
+        """Functional set_principal_point (camera.cc:97-100)."""
+        return dataclasses.replace(
+            self, principal_point=jnp.asarray(pp, jnp.float32)
+        )
+
+    def with_focal_length(self, fl: np.ndarray) -> "PinholeCamera":
+        """Functional set_focal_length (camera.cc:102-104)."""
+        return dataclasses.replace(
+            self, focal_length=jnp.asarray(fl, jnp.float32)
+        )
+
+    def with_fov_x(self, fov_x_deg: float) -> "PinholeCamera":
+        """Functional set_fov_x: same focal length per pixel for x and y
+        (camera.cc:106-112)."""
+        f = np.float32(
+            self.width * 0.5 / np.tan(np.radians(fov_x_deg) * 0.5)
+        )
+        return self.with_focal_length(np.array([f, f], np.float32))
+
+    def with_fov_y(self, fov_y_deg: float) -> "PinholeCamera":
+        """Functional set_fov_y: same focal length per pixel for x and y
+        (camera.cc:114-120)."""
+        f = np.float32(
+            self.height * 0.5 / np.tan(np.radians(fov_y_deg) * 0.5)
+        )
+        return self.with_focal_length(np.array([f, f], np.float32))
+
     @property
     def fov_x(self) -> jax.Array:
         return jnp.degrees(

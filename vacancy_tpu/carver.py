@@ -141,7 +141,7 @@ class VoxelCarver:
             raise RuntimeError("carve_batch: grid not initialized")
         camera = (
             cameras
-            if isinstance(cameras, PinholeCamera)
+            if hasattr(cameras, "w2c")  # a single (possibly batched) camera
             else stack_cameras(list(cameras))
         )
         opt = self._option.update_option
@@ -157,6 +157,11 @@ class VoxelCarver:
             return np.asarray(sdf_images)
         if engine != "warp":
             raise ValueError(f"unknown engine {engine!r}")
+        if not hasattr(camera, "principal_point"):
+            raise ValueError(
+                "engine='warp' supports pinhole cameras only; use "
+                "engine='exact' for orthographic carving"
+            )
         import jax
 
         from .config import SdfInterpolation

@@ -88,11 +88,12 @@ class VoxelCarverOption:
 class ShardingConfig:
     """How the voxel grid is partitioned over a device mesh.
 
-    The grid is block-partitioned along the z (slowest) axis by default;
-    fusion is embarrassingly parallel per block and marching cubes needs a
-    one-voxel halo along the sharded axis (see parallel/halo.py).
+    The grid is block-partitioned along the z (slowest) axis; fusion is
+    embarrassingly parallel per block and marching cubes performs a
+    one-voxel halo exchange along the sharded axis (parallel/sharded.py).
+    Build the device mesh with ``parallel.make_device_mesh(config=...)``.
     """
 
-    mesh_axes: Tuple[str, ...] = ("z",)
-    # Per-axis device counts; () means use all available devices on axis 0.
-    mesh_shape: Tuple[int, ...] = ()
+    axis_name: str = "z"
+    # Number of devices on the z axis; None means all available devices.
+    n_devices: Tuple[int, ...] | int | None = None

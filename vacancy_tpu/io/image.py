@@ -68,8 +68,10 @@ def convert_image(
 ) -> np.ndarray:
     """Scaled dtype conversion (reference Image::ConvertTo,
     image.h:132-151): dst = static_cast<TT>(scale * src), i.e. C-style
-    truncation toward zero for integer targets."""
-    out = np.asarray(image, np.float64) * np.float32(scale)
+    truncation toward zero for integer targets. The multiply happens in
+    float32 exactly like the reference's (scale is a float there), so
+    products landing on integer boundaries truncate identically."""
+    out = np.asarray(image, np.float32) * np.float32(scale)
     dtype = np.dtype(dtype)
     if np.issubdtype(dtype, np.integer):
         out = np.trunc(out)

@@ -95,11 +95,7 @@ def load_ply(path: str) -> "Mesh":
     support; extra vertex properties are skipped.
     """
     from ..mesh import Mesh
-    from .native import native_load_ply
-
-    native = native_load_ply(path)
-    if native is not None:
-        return native
+    from .native import native_parse_float3
 
     with open(path, "rb") as fp:
         if fp.readline().strip() != b"ply":
@@ -153,10 +149,12 @@ def load_ply(path: str) -> "Mesh":
         else:
             data = fp.read().split(b"\n")
             vrows = data[:n_vert]
-            vals = np.loadtxt(
-                [r for r in vrows], dtype=np.float32, ndmin=2
-            )
-            verts = vals[:, :3].astype(np.float32)
+            verts = native_parse_float3(b"\n".join(vrows), n_vert)
+            if verts is None:
+                vals = np.loadtxt(
+                    [r for r in vrows], dtype=np.float32, ndmin=2
+                )
+                verts = vals[:, :3].astype(np.float32)
             frows = data[n_vert : n_vert + n_face]
             fvals = np.loadtxt([r for r in frows], dtype=np.int64, ndmin=2)
             if fvals.size and np.any(fvals[:, 0] != 3):

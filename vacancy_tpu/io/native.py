@@ -50,6 +50,13 @@ def _load():
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_int32),
                 ]
+                lib.vacancy_parse_float3_lines.restype = ctypes.c_int64
+                lib.vacancy_parse_float3_lines.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                ]
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -87,9 +94,25 @@ def native_write_ply(path: str, mesh, binary: bool = False) -> bool:
     return ret == 0
 
 
-def native_load_ply(path: str):
-    """Native PLY reader hook (not yet implemented natively)."""
-    return None
+def native_parse_float3(buf: bytes, n_rows: int) -> Optional[np.ndarray]:
+    """Parse N ascii "x y z ..." lines into an [N, 3] float32 array.
+
+    The fast path for large ascii-PLY vertex bodies (~10x numpy's
+    loadtxt). Returns None if the native library is unavailable or the
+    buffer parsed short (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((n_rows, 3), np.float32)
+    parsed = lib.vacancy_parse_float3_lines(
+        buf,
+        len(buf),
+        n_rows,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if int(parsed) != n_rows:
+        return None
+    return out
 
 
 def native_weld(vertices: np.ndarray, faces: np.ndarray) -> Optional[tuple]:

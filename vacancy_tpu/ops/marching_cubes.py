@@ -707,6 +707,17 @@ def extract_mesh_blocked(
 _DENSE_MAX_VOXELS = 24_000_000
 
 
+def _pick_slab_nz(nz: int, ny: int, nx: int, default: int = 48) -> int:
+    """Slab height keeping per-slab temporaries within the dense budget.
+
+    A flat wide grid (e.g. 32 x 2048 x 2048) needs a much smaller slab
+    than the default 48 for slab-shaped temporaries to fit; a slab only
+    helps at all when nz > slab_nz + 2 (the slab plus its two halo
+    planes), so the returned value also caps at nz - 3."""
+    by_mem = max(1, _DENSE_MAX_VOXELS // max(1, ny * nx))
+    return max(1, min(default, by_mem, nz - 3))
+
+
 def extract_mesh(
     state: VoxelGridState,
     grid: GridSpec,
@@ -722,11 +733,15 @@ def extract_mesh(
     driver, which produces the identical mesh.
     """
     nz, ny, nx = state.sdf.shape
-    if nz * ny * nx > _DENSE_MAX_VOXELS and nz > 50:
-        return extract_mesh_blocked(
-            state, grid, iso_level, linear_interp,
-            capacity_hint=capacity_hint,
-        )
+    if nz * ny * nx > _DENSE_MAX_VOXELS:
+        slab = _pick_slab_nz(nz, ny, nx)
+        if nz > slab + 2:
+            return extract_mesh_blocked(
+                state, grid, iso_level, linear_interp,
+                slab_nz=slab, capacity_hint=capacity_hint,
+            )
+        # a grid too flat to z-block falls through to the dense driver
+        # (blocking over y/x is not supported; see _pick_slab_nz)
     if capacity_hint is None:
         # surface area heuristic: O(n^2) cubes cut, ~3 verts/cube
         est = int(6 * max(nx * ny, ny * nz, nx * nz))

@@ -22,8 +22,17 @@ def make_device_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
     axis_name: str = "z",
+    config=None,
 ) -> Mesh:
-    """A 1D device mesh over the grid's z axis."""
+    """A 1D device mesh over the grid's z axis.
+
+    Pass a ``config.ShardingConfig`` to drive the axis name and device
+    count from configuration instead of arguments."""
+    if config is not None:
+        axis_name = config.axis_name
+        if config.n_devices is not None and n_devices is None:
+            n = config.n_devices
+            n_devices = int(n[0]) if isinstance(n, tuple) else int(n)
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

@@ -221,54 +221,54 @@ def run_turntable(
         truncation_band=0.05,
     )
     batched = stack_cameras(cams)
+    import jax.numpy as jnp
 
-    t0 = time.perf_counter()
+    from .config import SdfInterpolation
+    from .ops.sdf2d import make_signed_distance_field
+
+    sdf_images = jax.vmap(
+        lambda m: make_signed_distance_field(
+            m, use_truncation=opt.use_truncation,
+            truncation_band=opt.truncation_band,
+        )
+    )(jnp.asarray(masks))
+    linear = opt.sdf_interp == SdfInterpolation.BILINEAR
+
+    # both branches use the warp engine with warm (post-compile) timing
+    # so their carve_s / fusions_per_s are directly comparable
     if sharded and len(jax.devices()) > 1:
         from .parallel import (
-            carve_views_sharded,
+            carve_views_warp_sharded,
             extract_mesh_sharded,
             grid_sharding,
             make_device_mesh,
         )
-        from .ops.sdf2d import make_signed_distance_field
 
         dev_mesh = make_device_mesh()
-        state = VoxelGridState.create(grid, sharding=grid_sharding(dev_mesh))
-        import jax.numpy as jnp
+        sharding = grid_sharding(dev_mesh)
 
-        sdf_images = jax.vmap(
-            lambda m: make_signed_distance_field(
-                m, use_truncation=opt.use_truncation,
-                truncation_band=opt.truncation_band,
+        def carve():
+            st = carve_views_warp_sharded(
+                VoxelGridState.create(grid, sharding=sharding), grid,
+                batched.w2c, batched.principal_point, batched.focal_length,
+                sdf_images, opt=opt, linear=linear, mesh=dev_mesh,
             )
-        )(jnp.asarray(masks))
-        state = carve_views_sharded(
-            state, grid, batched.w2c, batched.principal_point,
-            batched.focal_length, sdf_images, None, opt, mesh=dev_mesh,
-        )
-        np.asarray(state.sdf[:1, :1, :1])
+            float(jnp.sum(st.sdf[:1, :1]))  # sync through the tunnel
+            return st
+
+        carve()  # compile warmup
+        t0 = time.perf_counter()
+        state = carve()
         carve_s = time.perf_counter() - t0
         mesh = extract_mesh_sharded(state, grid, dev_mesh)
     else:
-        import jax.numpy as jnp
-
-        from .config import SdfInterpolation
         from .ops.fusion_warp import carve_views_warp
-        from .ops.sdf2d import make_signed_distance_field
-
-        sdf_images = jax.vmap(
-            lambda m: make_signed_distance_field(
-                m, use_truncation=opt.use_truncation,
-                truncation_band=opt.truncation_band,
-            )
-        )(jnp.asarray(masks))
 
         def carve():
             st = carve_views_warp(
                 VoxelGridState.create(grid), grid, batched.w2c,
                 batched.principal_point, batched.focal_length, sdf_images,
-                opt=opt,
-                linear=opt.sdf_interp == SdfInterpolation.BILINEAR,
+                opt=opt, linear=linear,
             )
             float(jnp.sum(st.sdf[:1, :1]))  # sync through the tunnel
             return st
