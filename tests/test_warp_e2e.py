@@ -1,0 +1,92 @@
+"""End-to-end mesh-quality gate for the warp fusion engine.
+
+The warp engine (ops/fusion_warp.py) is the production fast path -- the
+headline Gfusions/s number is measured on it -- so its output must be
+proven at the MESH level, not just by field-level error bounds
+(test_fusion_warp.py). This suite drives the full bunny pipeline through
+``carve_batch(engine="warp")`` -> marching cubes and holds the result to
+the same end-to-end bounds the exact engine meets:
+
+  * vs the reference implementation's own golden output meshes at 10 mm
+    (tests/golden/, produced by tools/ref_oracle/gen_golden.py): chamfer
+    well under a tenth of the voxel size;
+  * vs data/GT.ply at a ~128^3 grid: chamfer/diagonal at the 6-view
+    visual-hull floor (~0.0092; see BASELINE.md -- the reference's own
+    output measures the same, the 1e-3 target applies vs reference
+    meshes, not GT).
+
+Measured on this suite (CPU backend): 10mm carve 0.11 mm / tsdf 0.45 mm
+chamfer vs golden; 128-class ch/diag 0.00922 -- identical floor to the
+exact engine's 0.0092.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.carver import VoxelCarver
+from vacancy_tpu.mesh import Mesh
+from vacancy_tpu.metrics import (
+    bbox_diagonal,
+    chamfer_distance,
+    hausdorff_distance,
+)
+from vacancy_tpu.pipeline import (
+    BUNNY_BB_MAX,
+    BUNNY_BB_MIN,
+    bunny_option,
+    load_bunny,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(GOLDEN, "surface_carve.ply")),
+    reason="golden files missing (run tools/ref_oracle/gen_golden.py)",
+)
+
+
+@pytest.mark.parametrize(
+    "tag,tsdf,chamfer_mm,hausdorff_mm",
+    [("carve", False, 1.0, 12.0), ("tsdf", True, 1.0, 25.0)],
+)
+def test_warp_mesh_matches_reference_golden(
+    tag, tsdf, chamfer_mm, hausdorff_mm
+):
+    """Warp fuse -> MC at 10 mm vs the reference's own output mesh.
+
+    Bounds are a tenth of the voxel size in chamfer terms (the warp
+    approximation flips a few boundary voxels, visible in hausdorff but
+    not in chamfer). Vertex counts must agree to within 0.5%."""
+    cams, masks = load_bunny()
+    carver = VoxelCarver(bunny_option(resolution=10.0, tsdf=tsdf))
+    assert carver.init()
+    carver.carve_batch(cams, masks, engine="warp")
+    mesh = carver.extract_iso_surface(0.0)
+
+    gold = Mesh.load_ply(os.path.join(GOLDEN, f"surface_{tag}.ply"))
+    assert abs(mesh.num_vertices - gold.num_vertices) <= max(
+        20, gold.num_vertices // 200
+    )
+    ch, _, _ = chamfer_distance(mesh, gold, max_points=100_000)
+    hd = hausdorff_distance(mesh, gold, max_points=100_000)
+    assert ch < chamfer_mm, f"chamfer {ch} mm vs {tag} golden"
+    assert hd < hausdorff_mm, f"hausdorff {hd} mm vs {tag} golden"
+
+
+def test_warp_mesh_chamfer_floor_128(bunny_gt):
+    """Warp fuse -> MC at a ~128^3 grid holds the visual-hull chamfer
+    floor vs GT.ply -- the same 0.0092 the exact engine (and the
+    reference itself) measures at this resolution (BASELINE.md)."""
+    cams, masks = load_bunny()
+    extent = max(b - a for a, b in zip(BUNNY_BB_MIN, BUNNY_BB_MAX))
+    carver = VoxelCarver(bunny_option(resolution=extent / 128))
+    assert carver.init()
+    assert carver.grid.shape_zyx[2] == 128  # x is the widest axis
+    carver.carve_batch(cams, masks, engine="warp")
+    mesh = carver.extract_iso_surface(0.0)
+
+    ch, _, _ = chamfer_distance(mesh, bunny_gt, max_points=100_000)
+    ratio = ch / bbox_diagonal(bunny_gt)
+    assert ratio < 0.0095, f"chamfer/diag {ratio} vs GT at 128-class grid"
