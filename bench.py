@@ -82,8 +82,43 @@ def run_bench(n=512, n_views=24, iters=4):
     return grid.num_voxels * n_views / dt, dt
 
 
+def run_mc_bench(n=256, iters=3):
+    """Marching-cubes extraction throughput (the fused Pallas kernel,
+    ops/mc_fused.py) on a realistic closed surface: a sphere TSDF at
+    n^3. Returns (cubes/s over the full lattice, warm seconds, #verts).
+    """
+    import jax.numpy as jnp
+
+    from vacancy_tpu.grid import GridSpec, VoxelGridState
+    from vacancy_tpu.ops.marching_cubes import extract_mesh
+
+    res = 2.2 / n
+    grid = GridSpec(
+        bb_min=(-1.1, -1.1, -1.1),
+        bb_max=(-1.1 + (n + 0.4) * res,) * 3,
+        resolution=res,
+    )
+    assert grid.shape_zyx == (n, n, n)
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+    cz = jnp.asarray(grid.axis_centers(2))
+    r2 = (cz**2)[:, None, None] + (cy**2)[None, :, None] + (cx**2)[None]
+    sdf = jnp.clip((jnp.sqrt(r2) - 0.8) / 0.05, -1, 1).astype(jnp.float32)
+    state = VoxelGridState(
+        sdf=sdf, update_num=jnp.ones((n, n, n), jnp.int32)
+    )
+    mesh = extract_mesh(state, grid)  # warmup/compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        mesh = extract_mesh(state, grid)
+        best = min(best, time.perf_counter() - t0)
+    return (n - 1) ** 3 / best, best, mesh.num_vertices
+
+
 def main():
     rate, _ = run_bench()
+    mc_rate, mc_s, mc_verts = run_mc_bench()
     target = 1e9  # BASELINE: >= 1 Gvoxel-view fusions/s/chip
     print(
         json.dumps(
@@ -92,6 +127,9 @@ def main():
                 "value": round(rate, 1),
                 "unit": "fusions/s",
                 "vs_baseline": round(rate / target, 4),
+                "mc_cubes_per_sec_256^3": round(mc_rate, 1),
+                "mc_extract_warm_s_256^3": round(mc_s, 4),
+                "mc_vertices_256^3": int(mc_verts),
             }
         )
     )

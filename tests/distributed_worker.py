@@ -1,0 +1,89 @@
+"""Worker for the 2-process jax.distributed CPU test (test_distributed.py).
+
+Each process owns 4 virtual CPU devices (8 global); the grid is sharded
+over all 8 across the two processes. Exercises the full multi-host
+story: initialize_distributed -> sharded fuse -> per-process sharded
+checkpoint save/load round trip -> sharded MC with per-shard piece
+emission and host-0 assembly. Process 0 writes the final mesh (and a
+marker of the checks it ran) for the parent test to compare against the
+single-process dense result.
+"""
+
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = int(sys.argv[3])
+    tmpdir = sys.argv[4]
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from vacancy_tpu.checkpoint import load_state, save_state
+    from vacancy_tpu.grid import VoxelGridState
+    from vacancy_tpu.parallel import (
+        carve_views_sharded,
+        extract_mesh_sharded,
+        grid_sharding,
+        initialize_distributed,
+        make_device_mesh,
+    )
+
+    initialize_distributed(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert len(jax.local_devices()) == 4
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_sharding import _setup_grid_and_views
+
+    grid, w2c, pp, fl, imgs, roi, opt = _setup_grid_and_views(nz=16)
+    dev_mesh = make_device_mesh()
+    sharding = grid_sharding(dev_mesh)
+
+    state = VoxelGridState.create(grid, sharding=sharding)
+    state = carve_views_sharded(
+        state, grid, w2c, pp, fl, imgs, roi, opt, mesh=dev_mesh
+    )
+
+    # --- per-process sharded checkpoint round trip ---
+    ckpt = os.path.join(tmpdir, "state_ckpt")
+    save_state(ckpt, state, grid, next_view=3)
+    state2, grid2, next_view, _ = load_state(ckpt, sharding=sharding)
+    assert next_view == 3
+    assert grid2.shape_zyx == grid.shape_zyx
+    for a, b in ((state.sdf, state2.sdf),
+                 (state.update_num, state2.update_num)):
+        for s1, s2 in zip(a.addressable_shards, b.addressable_shards):
+            np.testing.assert_array_equal(
+                np.asarray(s1.data), np.asarray(s2.data)
+            )
+
+    # --- sharded MC: per-shard pieces, host-0 assembly ---
+    mesh = extract_mesh_sharded(
+        state2, grid, dev_mesh, piece_dir=os.path.join(tmpdir, "pieces")
+    )
+    if pid == 0:
+        assert mesh is not None
+        np.savez(
+            os.path.join(tmpdir, "result.npz"),
+            vertices=mesh.vertices,
+            faces=mesh.faces,
+        )
+    else:
+        assert mesh is None
+    print(f"proc {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""True multi-process distributed execution on CPU (SURVEY section 7
+stage 6): two spawned processes, a local jax.distributed coordinator,
+4 virtual devices each -> an 8-device global mesh spanning processes.
+
+The worker (distributed_worker.py) runs initialize_distributed ->
+sharded fuse -> per-process sharded checkpoint save/load -> sharded MC
+with per-shard piece emission + host-0 assembly; this test asserts the
+assembled mesh equals the single-process dense extraction bit-for-bit.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vacancy_tpu.grid import VoxelGridState
+from vacancy_tpu.ops.fusion import carve_views
+from vacancy_tpu.ops.marching_cubes import extract_mesh
+
+from test_sharding import _setup_grid_and_views
+
+HERE = os.path.dirname(__file__)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(HERE)] + env.get("PYTHONPATH", "").split(os.pathsep)
+    ).rstrip(os.pathsep)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(HERE, "distributed_worker.py"),
+                str(pid), "2", str(port), str(tmp_path),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    # reference: the identical workload, single process, dense
+    grid, w2c, pp, fl, imgs, roi, opt = _setup_grid_and_views(nz=16)
+    dense_state = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, roi, opt
+    )
+    dense = extract_mesh(dense_state, grid, engine="xla")
+
+    with np.load(tmp_path / "result.npz") as z:
+        np.testing.assert_array_equal(z["vertices"], dense.vertices)
+        np.testing.assert_array_equal(z["faces"], dense.faces)

@@ -5,13 +5,18 @@ fusion state is exactly (sdf, update_num) per voxel plus the grid spec and
 the index of the next view to fuse -- per-view fusion is a pure fold over
 state, so resuming from a snapshot between views is trivial.
 
-Snapshots are .npz files (one per host process). For sharded states the
-arrays are gathered to host via addressable shards and reassembled on
-load with the requested sharding.
+Snapshots are .npz files. A fully-addressable state (single process)
+saves as one file at ``path``. A multi-process sharded state saves one
+file per process (``path.proc{K}``), each holding that process's
+addressable shards plus their global z offsets; ``load_state`` with a
+sharding reassembles the global array from whichever local files cover
+this process's shards (``jax.make_array_from_single_device_arrays``), so
+save/load round-trips without any cross-host gather of grid data.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from typing import Optional, Tuple
@@ -23,6 +28,18 @@ import numpy as np
 from .grid import GridSpec, VoxelGridState
 
 
+def _meta(grid: GridSpec, next_view: int, extra: Optional[dict]) -> str:
+    return json.dumps(
+        {
+            "bb_min": list(grid.bb_min),
+            "bb_max": list(grid.bb_max),
+            "resolution": grid.resolution,
+            "next_view": int(next_view),
+            "extra": extra or {},
+        }
+    )
+
+
 def save_state(
     path: str,
     state: VoxelGridState,
@@ -30,39 +47,93 @@ def save_state(
     next_view: int = 0,
     extra: Optional[dict] = None,
 ) -> None:
-    meta = {
-        "bb_min": list(grid.bb_min),
-        "bb_max": list(grid.bb_max),
-        "resolution": grid.resolution,
-        "next_view": int(next_view),
-        "extra": extra or {},
-    }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(
-        path,
-        sdf=np.asarray(state.sdf),
-        update_num=np.asarray(state.update_num),
-        meta=json.dumps(meta),
+    if getattr(state.sdf, "is_fully_addressable", True):
+        np.savez_compressed(
+            path,
+            sdf=np.asarray(state.sdf),
+            update_num=np.asarray(state.update_num),
+            meta=_meta(grid, next_view, extra),
+        )
+        return
+    # multi-process: every process snapshots ONLY its addressable shards
+    # (np.asarray on the global array would fail -- and a cross-host
+    # gather of an 8.6 GB 1024^3 state is exactly what we must avoid)
+    payload = {"meta": _meta(grid, next_view, extra)}
+    for field in ("sdf", "update_num"):
+        arr = getattr(state, field)
+        for s in arr.addressable_shards:
+            z0 = s.index[0].start or 0
+            payload[f"{field}_z{z0}"] = np.asarray(s.data)
+    np.savez_compressed(f"{path}.proc{jax.process_index()}", **payload)
+
+
+def _assemble_sharded(files, shape, sharding, field: str):
+    """Build a global array for this process from local shard files."""
+    pieces = {}
+    for f in files:
+        with np.load(f, allow_pickle=False) as z:
+            for key in z.files:
+                if key.startswith(f"{field}_z"):
+                    pieces[int(key[len(field) + 2 :])] = z[key]
+    arrays = []
+    for d, idx in sharding.addressable_devices_indices_map(shape).items():
+        z0 = idx[0].start or 0
+        if z0 not in pieces:
+            raise ValueError(
+                f"checkpoint shard for z={z0} not found in local files "
+                f"{files}; was the checkpoint written with a different "
+                "process layout?"
+            )
+        arrays.append(jax.device_put(pieces[z0], d))
+    return jax.make_array_from_single_device_arrays(
+        shape, sharding, arrays
     )
 
 
 def load_state(
     path: str, sharding=None
 ) -> Tuple[VoxelGridState, GridSpec, int, dict]:
-    with np.load(path, allow_pickle=False) as z:
+    single = path if os.path.exists(path) else path + ".npz"
+    if os.path.exists(single):
+        with np.load(single, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            sdf = z["sdf"]
+            un = z["update_num"]
+        grid = GridSpec(
+            bb_min=tuple(meta["bb_min"]),
+            bb_max=tuple(meta["bb_max"]),
+            resolution=float(meta["resolution"]),
+        )
+        if sharding is not None:
+            sdf = jax.device_put(sdf, sharding)
+            un = jax.device_put(un, sharding)
+        else:
+            sdf = jnp.asarray(sdf)
+            un = jnp.asarray(un)
+        state = VoxelGridState(sdf=sdf, update_num=un)
+        return state, grid, int(meta["next_view"]), meta.get("extra", {})
+
+    files = sorted(glob.glob(path + ".proc*.npz")) + sorted(
+        glob.glob(path + ".proc*")
+    )
+    files = [f for f in dict.fromkeys(files) if os.path.isfile(f)]
+    if not files:
+        raise FileNotFoundError(path)
+    if sharding is None:
+        raise ValueError(
+            "loading a per-process sharded checkpoint requires a sharding"
+        )
+    with np.load(files[0], allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
-        sdf = z["sdf"]
-        un = z["update_num"]
     grid = GridSpec(
         bb_min=tuple(meta["bb_min"]),
         bb_max=tuple(meta["bb_max"]),
         resolution=float(meta["resolution"]),
     )
-    if sharding is not None:
-        sdf = jax.device_put(sdf, sharding)
-        un = jax.device_put(un, sharding)
-    else:
-        sdf = jnp.asarray(sdf)
-        un = jnp.asarray(un)
-    state = VoxelGridState(sdf=sdf, update_num=un)
+    shape = grid.shape_zyx
+    state = VoxelGridState(
+        sdf=_assemble_sharded(files, shape, sharding, "sdf"),
+        update_num=_assemble_sharded(files, shape, sharding, "update_num"),
+    )
     return state, grid, int(meta["next_view"]), meta.get("extra", {})

@@ -718,21 +718,47 @@ def _pick_slab_nz(nz: int, ny: int, nx: int, default: int = 48) -> int:
     return max(1, min(default, by_mem, nz - 3))
 
 
+# the fused Pallas kernel holds ~25 full-width planes in VMEM; one f32
+# plane may be at most this many bytes (512^2 planes fit on v5e)
+_FUSED_MAX_PLANE_BYTES = 1 << 20
+
+
 def extract_mesh(
     state: VoxelGridState,
     grid: GridSpec,
     iso_level: float = 0.0,
     linear_interp: bool = True,
     capacity_hint: Optional[int] = None,
+    engine: str = "auto",
 ) -> Mesh:
     """Host wrapper: run device MC, trim to counts, return a Mesh.
 
-    Automatically re-runs with doubled capacities if the fixed buffers
+    engine="auto" picks the fused Pallas kernel (ops/mc_fused.py) on a
+    TPU backend whenever the plane size fits its VMEM budget -- ~7x
+    faster than the XLA drivers and byte-identical; "fused" forces it,
+    "xla" forces the XLA dense/blocked drivers (also the CPU default --
+    the fused kernel would run interpreted there).
+
+    The XLA path re-runs with doubled capacities if the fixed buffers
     overflow (counts are exact regardless of capacity). Grids too large
     for the dense single-program driver dispatch to the z-slab blocked
     driver, which produces the identical mesh.
     """
     nz, ny, nx = state.sdf.shape
+    if engine not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_fused = engine == "fused" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and min(nz, ny, nx) >= 2
+        and ny * nx * 4 <= _FUSED_MAX_PLANE_BYTES
+    )
+    if use_fused:
+        from .mc_fused import extract_mesh_fused
+
+        return extract_mesh_fused(
+            state, grid, iso_level=iso_level, linear_interp=linear_interp
+        )
     if nz * ny * nx > _DENSE_MAX_VOXELS:
         slab = _pick_slab_nz(nz, ny, nx)
         if nz > slab + 2:

@@ -222,6 +222,16 @@ def marching_cubes_sharded(
     return fn(state.sdf, state.update_num, cz_full)
 
 
+def _local_blocks(arr: jax.Array, block_len: int) -> dict:
+    """Map global shard index k -> this process's block of a stacked
+    per-shard output (shape [n * block_len] or [n, ...] on axis 0)."""
+    out = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        out[start // block_len] = np.asarray(s.data)
+    return out
+
+
 def extract_mesh_sharded(
     state: VoxelGridState,
     grid: GridSpec,
@@ -229,10 +239,20 @@ def extract_mesh_sharded(
     iso_level: float = 0.0,
     linear_interp: bool = True,
     capacity_hint: Optional[int] = None,
-) -> TriMesh:
-    """Host wrapper: sharded MC -> the dense driver's exact mesh."""
+    piece_dir: Optional[str] = None,
+) -> Optional[TriMesh]:
+    """Host wrapper: sharded MC -> the dense driver's exact mesh.
+
+    Single process: gathers every shard directly. Multi-process
+    (``jax.process_count() > 1``): each process writes ONLY its
+    addressable shards' trimmed emissions as a piece file under
+    ``piece_dir`` (a filesystem all hosts can reach), processes
+    barrier, and process 0 assembles and returns the mesh (other
+    processes return None) -- the SURVEY section 5 "per-shard pieces +
+    host-0 weld" path; no cross-host transfer of capacity buffers."""
     n = mesh.shape[AXIS]
     nz, ny, nx = state.sdf.shape
+    multiproc = jax.process_count() > 1
     if capacity_hint is None:
         capacity_hint = max(1 << 12, int(8 * ny * nx))
     vcap = int(capacity_hint)
@@ -244,6 +264,29 @@ def extract_mesh_sharded(
             linear_interp=bool(linear_interp),
             vertex_capacity=vcap, face_capacity=fcap, mesh=mesh,
         )
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            lvc = _local_blocks(vc, 1)  # k -> [1, 3]
+            lfc = _local_blocks(fc, 1)  # k -> [1]
+            local_max = np.array(
+                [
+                    max((int(b.max()) for b in lvc.values()), default=0),
+                    max((int(b.max()) for b in lfc.values()), default=0),
+                ],
+                np.int64,
+            )
+            gmax = np.asarray(
+                multihost_utils.process_allgather(local_max)
+            ).reshape(-1, 2)
+            vneed, fneed = int(gmax[:, 0].max()), int(gmax[:, 1].max())
+            if vneed <= vcap and fneed <= fcap:
+                return _emit_pieces_and_assemble(
+                    n, vcap, fcap, lvc, lfc, vp, vl, fa, fl, piece_dir
+                )
+            vcap = max(2 * vcap, vneed)
+            fcap = max(2 * fcap, fneed)
+            continue
         vc = np.asarray(vc)  # [n, 3]
         fc = np.asarray(fc)  # [n]
         if vc.max(initial=0) <= vcap and fc.max(initial=0) <= fcap:
@@ -291,6 +334,65 @@ def extract_mesh_sharded(
         vcap = max(2 * vcap, int(vc.max()))
         fcap = max(2 * fcap, int(fc.max()))
     raise RuntimeError("sharded marching cubes capacity loop diverged")
+
+
+def _emit_pieces_and_assemble(
+    n, vcap, fcap, lvc, lfc, vp, vl, fa, fl, piece_dir
+) -> Optional[TriMesh]:
+    """Multi-process finish: write this process's trimmed shard pieces,
+    barrier, assemble on process 0 (others return None)."""
+    import os
+
+    from jax.experimental import multihost_utils
+
+    if piece_dir is None:
+        raise ValueError(
+            "extract_mesh_sharded with multiple processes needs a "
+            "piece_dir reachable from every host"
+        )
+    os.makedirs(piece_dir, exist_ok=True)
+    payload = {}
+    lvp = [[_local_blocks(vp[a][c], vcap) for c in range(3)]
+           for a in range(3)]
+    lvl = [_local_blocks(vl[a], vcap) for a in range(3)]
+    lfa = [_local_blocks(fa[j], fcap) for j in range(3)]
+    lfl = [_local_blocks(fl[j], fcap) for j in range(3)]
+    for k, counts in lvc.items():
+        counts = counts.reshape(3)
+        for a in range(3):
+            n_k = int(counts[a])
+            payload[f"k{k}_pos{a}"] = np.stack(
+                [lvp[a][c][k][:n_k] for c in range(3)], axis=-1
+            )
+            payload[f"k{k}_lin{a}"] = lvl[a][k][:n_k]
+        m_k = int(lfc[k].reshape(()))
+        payload[f"k{k}_fax"] = np.stack(
+            [lfa[j][k][:m_k] for j in range(3)], axis=-1
+        )
+        payload[f"k{k}_flin"] = np.stack(
+            [lfl[j][k][:m_k] for j in range(3)], axis=-1
+        )
+    pid = jax.process_index()
+    np.savez(os.path.join(piece_dir, f"mc_pieces_proc{pid}.npz"), **payload)
+    multihost_utils.sync_global_devices("vacancy_mc_pieces")
+    if pid != 0:
+        return None
+
+    pieces = {}
+    for p in range(jax.process_count()):
+        f = os.path.join(piece_dir, f"mc_pieces_proc{p}.npz")
+        with np.load(f, allow_pickle=False) as z:
+            for key in z.files:
+                pieces[key] = z[key]
+    pos_parts = [[], [], []]
+    lin_parts = [[], [], []]
+    face_parts = []
+    for k in range(n):
+        for a in range(3):
+            pos_parts[a].append(pieces[f"k{k}_pos{a}"])
+            lin_parts[a].append(pieces[f"k{k}_lin{a}"])
+        face_parts.append((pieces[f"k{k}_fax"], pieces[f"k{k}_flin"]))
+    return _assemble_slab_parts(pos_parts, lin_parts, face_parts)
 
 
 # ----------------------------------------------------------------------

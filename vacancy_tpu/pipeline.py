@@ -294,6 +294,118 @@ def run_turntable(
     }
 
 
+def run_sweep(
+    n: int = 1024,
+    n_views: int = 100,
+    sharded: bool = True,
+    extract: bool = True,
+    out_dir: Optional[str] = None,
+    piece_dir: Optional[str] = None,
+) -> dict:
+    """BASELINE config 5 as one command: N^3 (default 1024^3) TSDF sweep
+    over 100+ synthetic turntable views, sharded over every available
+    device (or z-chunked in-place on a single chip, where the per-view
+    fields would exceed HBM), then sharded/blocked extraction.
+
+    Multi-host: run the same command per process after
+    ``initialize_distributed()``; extraction emits per-shard pieces and
+    process 0 assembles (pass --piece-dir on a shared filesystem).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import SdfInterpolation
+    from .ops.fusion_warp import carve_views_warp_blocked
+    from .ops.marching_cubes import extract_mesh
+    from .ops.sdf2d import make_signed_distance_field
+    from .synthetic import blob_spheres, render_silhouettes, turntable_cameras
+
+    centers, radii = blob_spheres(seed=3)
+    cams = turntable_cameras(n_views, radius=3.2)
+    masks = render_silhouettes(cams, centers, radii)
+    res = 2.2 / n
+    grid = GridSpec(
+        bb_min=(-1.1, -1.1, -1.1),
+        bb_max=(-1.1 + (n + 0.4) * res,) * 3,
+        resolution=res,
+    )
+    assert grid.shape_zyx == (n, n, n), grid.shape_zyx
+    opt = VoxelUpdateOption(
+        voxel_update=VoxelUpdate.WEIGHTED_AVERAGE,
+        use_truncation=True,
+        truncation_band=0.05,
+    )
+    batched = stack_cameras(cams)
+    sdf_images = jax.vmap(
+        lambda m: make_signed_distance_field(
+            m, use_truncation=True, truncation_band=0.05
+        )
+    )(jnp.asarray(masks))
+    linear = opt.sdf_interp == SdfInterpolation.BILINEAR
+
+    use_sharded = sharded and len(jax.devices()) > 1
+    t0 = time.perf_counter()
+    if use_sharded:
+        from .parallel import (
+            carve_views_warp_sharded,
+            extract_mesh_sharded,
+            grid_sharding,
+            make_device_mesh,
+            pad_bbox_for_sharding,
+        )
+
+        dev_mesh = make_device_mesh()
+        grid = pad_bbox_for_sharding(grid, len(dev_mesh.devices))
+        state = VoxelGridState.create(
+            grid, sharding=grid_sharding(dev_mesh)
+        )
+        state = carve_views_warp_sharded(
+            state, grid, batched.w2c, batched.principal_point,
+            batched.focal_length, sdf_images, opt=opt, linear=linear,
+            mesh=dev_mesh,
+        )
+        float(jnp.sum(state.sdf[:1, :1]))  # sync
+        carve_s = time.perf_counter() - t0
+        mesh = (
+            extract_mesh_sharded(
+                state, grid, dev_mesh, piece_dir=piece_dir
+            )
+            if extract
+            else None
+        )
+    else:
+        state = carve_views_warp_blocked(
+            VoxelGridState.create(grid), grid, batched.w2c,
+            batched.principal_point, batched.focal_length, sdf_images,
+            opt=opt, linear=linear,
+        )
+        float(jnp.sum(state.sdf[:1, :1]))  # sync
+        carve_s = time.perf_counter() - t0
+        mesh = extract_mesh(state, grid) if extract else None
+    t_extract = time.perf_counter() - t0 - carve_s
+    out = {
+        "config": "baseline-5-sweep",
+        "grid": grid.voxel_num,
+        "views": n_views,
+        "sharded": bool(use_sharded),
+        "devices": len(jax.devices()),
+        "carve_s": carve_s,
+        "fusions_per_s": grid.num_voxels * n_views / carve_s,
+    }
+    if mesh is not None:
+        out.update(
+            extract_s=t_extract,
+            mc_vertices=mesh.num_vertices,
+            mc_faces=mesh.num_faces,
+        )
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            mesh.write_ply(
+                os.path.join(out_dir, f"sweep_{n}.ply"), binary=True
+            )
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vacancy_tpu.pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -319,7 +431,31 @@ def main(argv=None):
     t.add_argument("--sharded", action="store_true")
     t.add_argument("--out", default=None)
 
+    s = sub.add_parser(
+        "sweep", help="BASELINE config 5: 1024^3, 100+ views, sharded"
+    )
+    s.add_argument("--profile", default=None, metavar="DIR")
+    s.add_argument("--n", type=int, default=1024)
+    s.add_argument("--views", type=int, default=100)
+    s.add_argument("--no-sharded", action="store_true",
+                   help="force the single-chip z-chunked path")
+    s.add_argument("--no-extract", action="store_true")
+    s.add_argument("--out", default=None)
+    s.add_argument("--piece-dir", default=None,
+                   help="shared dir for per-shard mesh pieces (multi-host)")
+    for sp in (t, s):
+        sp.add_argument(
+            "--cpu", type=int, default=0, metavar="N",
+            help="force a virtual mesh of N CPU devices (harness "
+            "validation without a pod; must run before backend init)",
+        )
+
     args = p.parse_args(argv)
+    if getattr(args, "cpu", 0):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(args.cpu))
     from .utils.timing import trace as profiler_trace
 
     if args.cmd == "bunny":
@@ -338,11 +474,19 @@ def main(argv=None):
                 checkpoint=args.checkpoint,
                 resume=args.resume,
             )
-    else:
+    elif args.cmd == "turntable":
         with profiler_trace(args.profile):
             out = run_turntable(
                 n=args.n, n_views=args.views, sharded=args.sharded,
                 out_dir=args.out,
+            )
+    else:
+        with profiler_trace(args.profile):
+            out = run_sweep(
+                n=args.n, n_views=args.views,
+                sharded=not args.no_sharded,
+                extract=not args.no_extract,
+                out_dir=args.out, piece_dir=args.piece_dir,
             )
     print(json.dumps(out, default=str))
 
