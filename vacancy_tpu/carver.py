@@ -77,11 +77,14 @@ class VoxelCarver:
         sdf: Optional[np.ndarray] = None,
         roi_min: Optional[Tuple[int, int]] = None,
         roi_max: Optional[Tuple[int, int]] = None,
+        debug: bool = False,
     ) -> Optional[np.ndarray]:
         """Fuse one view. Pass either a silhouette mask (the 2D SDF is
         computed and returned) or a precomputed SDF image.
 
         Matches the reference Carve overloads (voxel_carver.cc:394-514).
+        With ``debug=True`` the input SDF image and the resulting fusion
+        state are validated for NaN/Inf (utils/debug.py).
         """
         if self._state is None:
             LOGE("carve: voxel grid has not been initialized")
@@ -95,6 +98,10 @@ class VoxelCarver:
             roi = (int(rmin[0]), int(rmin[1]), int(rmax[0]), int(rmax[1]))
 
         opt = self._option.update_option
+        if debug and sdf is not None:
+            from .utils.debug import assert_finite
+
+            assert_finite("carve: input sdf image", sdf)
         if sdf is None:
             assert silhouette is not None, "need a silhouette or an sdf image"
             self._state, sdf_images = carve_masks(
@@ -120,6 +127,10 @@ class VoxelCarver:
             opt=opt,
             projection="ortho" if ortho else "pinhole",
         )
+        if debug:
+            from .utils.debug import assert_finite
+
+            assert_finite("carve: fusion state sdf", self._state.sdf)
         return np.asarray(sdf)
 
     def carve_batch(
@@ -127,6 +138,7 @@ class VoxelCarver:
         cameras: Union[PinholeCamera, Sequence[PinholeCamera]],
         silhouettes: np.ndarray,
         engine: str = "exact",
+        debug: bool = False,
     ) -> np.ndarray:
         """Fuse a batch of views in one compiled step (the TPU-native
         replacement for the reference's sequential multi-view Carve,
@@ -136,6 +148,12 @@ class VoxelCarver:
         bilinear/NN semantics; "warp" uses the two-pass projective-warp
         Pallas engine (~300x faster on TPU, sub-pixel approximation of
         bilinear; full-image ROI only).
+
+        debug: NaN/Inf instrumentation (SURVEY section 5 sanitizer
+        equivalent). The exact engine runs under jax checkify
+        float_checks, catching NaN-producing ops inside the compiled
+        fold; the warp engine (a Pallas kernel, not checkify-
+        instrumentable) validates its inputs and the resulting state.
         """
         if self._state is None:
             raise RuntimeError("carve_batch: grid not initialized")
@@ -146,7 +164,7 @@ class VoxelCarver:
         )
         opt = self._option.update_option
         if engine == "exact":
-            self._state, sdf_images = carve_masks(
+            call = lambda: carve_masks(  # noqa: E731
                 self._state,
                 self._grid,
                 camera,
@@ -154,6 +172,18 @@ class VoxelCarver:
                 opt=opt,
                 sdf_minmax_normalize=self._option.sdf_minmax_normalize,
             )
+            if debug:
+                from .utils.debug import assert_finite, checked_call
+
+                # checkify flags NaNs GENERATED by arithmetic inside the
+                # fold (e.g. the weighted-average update); NaNs that only
+                # propagate through select/max are caught by the post-scan
+                self._state, sdf_images = checked_call(call)
+                assert_finite(
+                    "carve_batch: fusion state sdf", self._state.sdf
+                )
+            else:
+                self._state, sdf_images = call()
             return np.asarray(sdf_images)
         if engine != "warp":
             raise ValueError(f"unknown engine {engine!r}")
@@ -179,6 +209,10 @@ class VoxelCarver:
                 truncation_band=opt.truncation_band,
             )
         )(masks)
+        if debug:
+            from .utils.debug import assert_finite
+
+            assert_finite("carve_batch: 2D SDF images", sdf_images)
         self._state = carve_views_warp(
             self._state,
             self._grid,
@@ -189,6 +223,8 @@ class VoxelCarver:
             opt=opt,
             linear=opt.sdf_interp == SdfInterpolation.BILINEAR,
         )
+        if debug:
+            assert_finite("carve_batch: fusion state sdf", self._state.sdf)
         return np.asarray(sdf_images)
 
     # ------------------------------------------------------------------
@@ -199,9 +235,19 @@ class VoxelCarver:
         return extract_voxel_mesh(self.state, self.grid, inside_empty)
 
     def extract_iso_surface(
-        self, iso_level: float = 0.0, linear_interp: bool = True
+        self,
+        iso_level: float = 0.0,
+        linear_interp: bool = True,
+        debug: bool = False,
     ) -> Mesh:
-        return extract_mesh(
+        if debug:
+            from .utils.debug import assert_finite
+
+            assert_finite("extract: state sdf", self.state.sdf)
+        mesh = extract_mesh(
             self.state, self.grid, iso_level=iso_level,
             linear_interp=linear_interp,
         )
+        if debug:
+            assert_finite("extract: vertices", mesh.vertices)
+        return mesh

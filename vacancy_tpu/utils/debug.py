@@ -1,0 +1,47 @@
+"""NaN/Inf debug instrumentation (SURVEY section 5 sanitizer equivalent).
+
+The reference has no sanitizers; its OpenMP loops are race-free by
+z-partitioning and numerical corruption surfaces as garbage meshes. Here
+races are impossible by construction (pure functional updates), so the
+remaining failure mode is numerical: NaN/Inf leaking into the fusion
+state or extracted vertices. ``debug=True`` on the engine entry points
+(VoxelCarver.carve/carve_batch/extract_iso_surface) enables:
+
+  * host-side finiteness validation of inputs and results
+    (``assert_finite`` -- the InvalidSdf sentinel is float32 lowest,
+    which is finite, so a plain isfinite scan is exact);
+  * ``checked_call``: jax.experimental.checkify with float_checks over a
+    jitted computation, catching NaN-producing ops *inside* the
+    compiled step (div-by-zero, inf-inf, ...) with op-level provenance.
+    Used for the exact XLA fusion engine; Pallas kernels (warp engine,
+    fused MC) are not checkify-instrumentable, so their debug mode
+    validates the state around the kernel instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def assert_finite(name: str, arr) -> None:
+    """Raise FloatingPointError if arr holds any NaN/Inf (syncs)."""
+    a = np.asarray(arr)
+    if not np.issubdtype(a.dtype, np.floating):
+        return
+    n_nan = int(np.isnan(a).sum())
+    n_inf = int(np.isinf(a).sum())
+    if n_nan or n_inf:
+        raise FloatingPointError(
+            f"{name}: {n_nan} NaN / {n_inf} Inf values out of {a.size}"
+        )
+
+
+def checked_call(fn, *args, **kwargs):
+    """Run fn under checkify float_checks; throw on any NaN/div error."""
+    from jax.experimental import checkify
+
+    err, out = checkify.checkify(
+        fn, errors=checkify.float_checks
+    )(*args, **kwargs)
+    err.throw()
+    return out
