@@ -1,0 +1,309 @@
+"""Single-kernel warp fusion: both warp passes + the update, in VMEM.
+
+The two-pass engine (ops/fusion_warp.py) round-trips three grid-sized
+fields through HBM per view (the [NZ, H, NX] pass-1 intermediate, the
+projected-coordinate fields, the sampled distances) -- measured ~75% of
+the HBM roofline at 512^3. This kernel removes all of it: one grid step
+per z-plane holds the state plane and EVERY view's SDF image in VMEM,
+loops views with `fori_loop`, and runs pass 1 (horizontal resample at
+the closed-form u_eq), pass 2 (vertical resample at the exact projected
+v*), the skip/outside masks, and the reference update rule inline. HBM
+traffic becomes one read + one write of the state plus one read of the
+images -- ~2 GB instead of ~200 GB for 512^3 x 24 views.
+
+Numerics match ops/fusion_warp.py formula-for-formula (same clamps, tap
+rules, and `apply_view_update`); Mosaic may round the homography
+divisions differently from XLA by an ulp, so equality tests use a tight
+tolerance rather than bit identity, and the mesh-level warp gates
+(tests/test_warp_e2e.py) hold unchanged.
+
+Layout notes: the kernel works in a transposed (NX, NY) plane layout so
+pass 2's vertical interpolation is a lane-axis gather; the only
+transposes are the state in/out (2 per plane) and the pass-1
+intermediate (1 per view-plane). Mosaic's `dynamic_gather` is strictly
+(R, 128) x (R, 128), so every fetch tiles its index plane into 128-lane
+tiles and selects over 128-lane table chunks (same scheme as
+ops/warp_gather.py). Requires lane-aligned grids (NX, NY multiples of
+128); `carve_views_warp` dispatches here on TPU when that holds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import UpdateOutsideImage, VoxelUpdateOption
+from ..grid import GridSpec, VoxelGridState
+from .fusion import apply_view_update
+
+_SENTINEL_CLAMP = np.float32(-1e6)
+_LANE = 128
+
+
+def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[r, j] = tab[r, idx[r, j]] with tab (R, C*128), idx i32 (R, T).
+
+    Tiles idx into 128-lane tiles and the table into 128-lane chunks
+    (Mosaic dynamic_gather is same-shape-only); idx must be in
+    [0, tab width)."""
+    r, wpad = tab.shape
+    _, t = idx.shape
+    n_chunks = wpad // _LANE
+    outs = []
+    for jt in range(t // _LANE):
+        it = idx[:, jt * _LANE : (jt + 1) * _LANE]
+        chunk = it // _LANE
+        lane = it - chunk * _LANE
+        acc = jnp.zeros((r, _LANE), tab.dtype)
+        for c in range(n_chunks):
+            g = jnp.take_along_axis(
+                tab[:, c * _LANE : (c + 1) * _LANE], lane, axis=1
+            )
+            acc = jnp.where(chunk == c, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _interp_inline(tab: jax.Array, pos: jax.Array, width: int,
+                   linear: bool) -> jax.Array:
+    """1D interpolation along rows, identical tap rules to
+    ops/warp_gather.interp_rows (floor + clamp-to-edge; NN rounds half
+    up). tab is lane-padded; taps never exceed width - 1 < padded."""
+    if linear:
+        p0f = jnp.floor(pos)
+        frac = pos - p0f
+        p0 = jnp.clip(p0f.astype(jnp.int32), 0, width - 1)
+        p1 = jnp.minimum(p0 + 1, width - 1)
+        t0 = _gather_rows(tab, p0)
+        t1 = _gather_rows(tab, p1)
+        return (1.0 - frac) * t0 + frac * t1
+    p0 = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), 0, width - 1)
+    return _gather_rows(tab, p0)
+
+
+def _warp_fused_kernel(
+    nz: int, ny: int, nx: int, h: int, w: int, hpad: int,
+    v_count: int, opt: VoxelUpdateOption, linear: bool,
+):
+    def kernel(
+        cz_ref,  # SMEM f32[1, nz]
+        coef_ref,  # SMEM f32[v, 16]: R row-major 9, t 3, fx fy cx cy
+        max_ref,  # SMEM f32[1, v]: per-image max sdf
+        sdf_ref,  # VMEM f32[1, ny, nx] state plane
+        un_ref,  # VMEM i32[1, ny, nx]
+        imgs_ref,  # VMEM f32[v, h, wpad] (sentinel-clamped, lane-padded)
+        cxr_ref,  # VMEM f32[1, nx]
+        cxc_ref,  # VMEM f32[nx, 1]
+        cyr_ref,  # VMEM f32[1, ny]
+        osdf_ref,  # VMEM f32[1, ny, nx]
+        oun_ref,  # VMEM i32[1, ny, nx]
+    ):
+        k = pl.program_id(0)
+        czk = cz_ref[0, k]
+
+        # work in (NX, NY): pass 2 interpolates along image rows v with
+        # a lane gather, and the update applies in the same layout
+        sdf_t = sdf_ref[0].T
+        un_t = un_ref[0].T
+        x_col = jnp.broadcast_to(cxc_ref[:], (nx, ny))  # x per sublane
+        y_row = jnp.broadcast_to(cyr_ref[:], (nx, ny))  # y per lane
+        x_row1 = cxr_ref[:]  # (1, nx) for pass 1
+
+        def view_body(v, carry):
+            sdf_t, un_t = carry
+            c = lambda i: coef_ref[v, i]  # noqa: E731
+            r00, r01, r02 = c(0), c(1), c(2)
+            r10, r11, r12 = c(3), c(4), c(5)
+            r20, r21, r22 = c(6), c(7), c(8)
+            t0, t1, t2 = c(9), c(10), c(11)
+            fx, fy, cxp, cyp = c(12), c(13), c(14), c(15)
+            max_i = max_ref[0, v]
+            a0 = r02 * czk + t0
+            b0 = r12 * czk + t1
+            c0 = r22 * czk + t2
+
+            img = imgs_ref[v]  # (h, wpad)
+
+            # ---- pass 1: horizontal resample at u_eq(vrow, x) ----
+            # (identical formulas to fusion_warp._warp_dist_one_view)
+            vbar = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, nx), 0).astype(
+                    jnp.float32
+                )
+                - cyp
+            )
+            xr = jnp.broadcast_to(x_row1, (h, nx))
+            denom = vbar * r21 - fy * r11
+            safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            y_star = (fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)) / safe
+            s_star = c0 + r20 * xr + r21 * y_star
+            s_safe = jnp.where(jnp.abs(s_star) < 1e-12, 1e-12, s_star)
+            u_eq = fx * (a0 + r00 * xr + r01 * y_star) / s_safe + cxp
+            u_eq = jnp.clip(
+                jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
+            )
+            inter = _interp_inline(img, u_eq, w, linear)  # (h, nx)
+
+            # lane-pad the transposed intermediate for the pass-2 gather
+            # (concatenate: .at[].set on a value lowers to scatter, which
+            # has no Mosaic rule)
+            inter_t = jnp.concatenate(
+                [inter.T, jnp.zeros((nx, hpad - h), jnp.float32)], axis=1
+            ) if hpad != h else inter.T
+
+            # ---- pass 2 + masks at the exact projection ----
+            s_ = c0 + r20 * x_col + r21 * y_row
+            q_ = b0 + r10 * x_col + r11 * y_row
+            p_ = a0 + r00 * x_col + r01 * y_row
+            v_star = fy * q_ / s_ + cyp
+            u_star = fx * p_ / s_ + cxp
+            v_pos = jnp.clip(
+                jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
+            )
+            dist = _interp_inline(inter_t, v_pos, h, linear)  # (nx, ny)
+
+            behind = s_ < 0
+            bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
+            outside = (
+                (u_star < 0) | (v_star < 0)
+                | (u_star > w - 1) | (v_star > h - 1)
+            )
+            skip = behind | bad
+            if opt.update_outside == UpdateOutsideImage.NONE:
+                skip = skip | outside
+            elif opt.update_outside == UpdateOutsideImage.MAX:
+                dist = jnp.where(outside, max_i, dist)
+            sdf_t, un_t = apply_view_update(sdf_t, un_t, dist, skip, opt)
+            return sdf_t, un_t
+
+        sdf_t, un_t = jax.lax.fori_loop(
+            0, v_count, view_body, (sdf_t, un_t)
+        )
+        osdf_ref[0] = sdf_t.T
+        oun_ref[0] = un_t.T
+
+    return kernel
+
+
+def warp_fuse_planes(
+    sdf: jax.Array,  # f32[NZ, NY, NX]
+    un: jax.Array,  # i32[NZ, NY, NX]
+    cx: jax.Array,  # f32[NX]
+    cy: jax.Array,  # f32[NY]
+    cz: jax.Array,  # f32[NZ] (may be a dynamic slice of the grid's)
+    w2c: jax.Array,  # f32[V, 4, 4]
+    principal_point: jax.Array,  # f32[V, 2]
+    focal_length: jax.Array,  # f32[V, 2]
+    sdf_images: jax.Array,  # f32[V, H, W]
+    opt: VoxelUpdateOption,
+    linear: bool,
+    interpret: bool = False,
+):
+    """Array-level core shared by all warp entry points (plain, sharded,
+    blocked): fuses every view into the given planes in one kernel.
+    Requires NX, NY multiples of 128. Returns (sdf, un)."""
+    v_count, h, w = sdf_images.shape
+    nz, ny, nx = sdf.shape
+    assert nx % _LANE == 0 and ny % _LANE == 0, (nx, ny)
+
+    wpad = -(-w // _LANE) * _LANE
+    hpad = -(-h // _LANE) * _LANE
+    imgs = jnp.maximum(sdf_images, _SENTINEL_CLAMP)
+    if wpad != w:
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, wpad - w)))
+    coef = jnp.concatenate(
+        [
+            w2c[:, :3, :3].reshape(v_count, 9),
+            w2c[:, :3, 3],
+            focal_length[:, :1], focal_length[:, 1:2],
+            principal_point[:, :1], principal_point[:, 1:2],
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # [V, 16]
+    max_sdfs = jnp.max(sdf_images, axis=(1, 2)).reshape(1, v_count)
+    cz = cz.reshape(1, nz)
+
+    kernel = _warp_fused_kernel(
+        nz, ny, nx, h, w, hpad, v_count, opt, linear
+    )
+    plane = lambda dt: pl.BlockSpec(  # noqa: E731
+        (1, ny, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda k: tuple(0 for _ in shape), memory_space=pltpu.SMEM
+    )
+    new_sdf, new_un = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[
+            smem((1, nz)),
+            smem((v_count, 16)),
+            smem((1, v_count)),
+            plane(jnp.float32),
+            plane(jnp.int32),
+            pl.BlockSpec(
+                (v_count, h, wpad), lambda k: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nx), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nx, 1), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ny), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(plane(jnp.float32), plane(jnp.int32)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nz, ny, nx), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        cz, coef, max_sdfs, sdf, un, imgs,
+        cx.reshape(1, nx), cx.reshape(nx, 1), cy.reshape(1, ny),
+    )
+    return new_sdf, new_un
+
+
+@partial(jax.jit, static_argnames=("grid", "opt", "linear", "interpret"))
+def carve_views_warp_fused(
+    state: VoxelGridState,
+    grid: GridSpec,
+    w2c: jax.Array,  # f32[V, 4, 4]
+    principal_point: jax.Array,  # f32[V, 2]
+    focal_length: jax.Array,  # f32[V, 2]
+    sdf_images: jax.Array,  # f32[V, H, W]
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+    linear: bool = True,
+    interpret: bool = False,
+) -> VoxelGridState:
+    """Multi-view warp fusion in one Pallas kernel (see module doc).
+
+    Same semantics as carve_views_warp; requires NX and NY to be
+    multiples of 128 (the caller dispatches)."""
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        principal_point = principal_point[None]
+        focal_length = focal_length[None]
+        sdf_images = sdf_images[None]
+    new_sdf, new_un = warp_fuse_planes(
+        state.sdf, state.update_num,
+        jnp.asarray(grid.axis_centers(0)),
+        jnp.asarray(grid.axis_centers(1)),
+        jnp.asarray(grid.axis_centers(2)),
+        w2c, principal_point, focal_length, sdf_images,
+        opt, linear, interpret,
+    )
+    return VoxelGridState(sdf=new_sdf, update_num=new_un)
