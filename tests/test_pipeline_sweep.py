@@ -1,0 +1,23 @@
+"""BASELINE config-5 sweep command (pipeline.run_sweep) smoke tests on
+the virtual CPU mesh: sharded and single-chip paths produce meshes and
+comparable reports at a tiny scale."""
+
+import jax
+import numpy as np
+
+from vacancy_tpu.pipeline import run_sweep
+
+
+def test_sweep_sharded_small():
+    out = run_sweep(n=32, n_views=4, sharded=True, extract=True)
+    assert out["config"] == "baseline-5-sweep"
+    assert out["sharded"] == (len(jax.devices()) > 1)
+    assert out["mc_vertices"] > 0 and out["mc_faces"] > 0
+    assert out["fusions_per_s"] > 0
+
+
+def test_sweep_single_chip_small():
+    out = run_sweep(n=32, n_views=4, sharded=False, extract=False)
+    assert out["sharded"] is False
+    assert "mc_vertices" not in out
+    assert out["grid"] == (32, 32, 32)

@@ -27,10 +27,16 @@ requires a dynamic, unaligned store window per row, which Mosaic lowers
 to a rolled + masked read-modify-write costing ~1 us/row regardless of
 row width -- variants with precomputed bases (no SMEM serial chain) and
 masked stores measure the same, so the window store itself is the
-floor. The marching-cubes emission therefore keeps the single
-index-scatter + gather compaction (see ops/marching_cubes.py); this
-kernel is retained as a correct, fully tested building block and a
-record of the measured design space.
+floor.
+
+The design that finally beat the scatter is in ops/mc_fused.py:
+compaction by LSB-first BINARY SHIFTING inside one plane's VMEM block
+(log2(n) vectorized roll+select passes, provably collision-free), with
+per-plane fixed-capacity outputs at STATIC offsets -- no dynamic store
+windows at all, which is exactly the cost this kernel could not avoid.
+This module is retained as a correct, fully tested building block and a
+record of the measured design space; the XLA drivers keep the single
+index-scatter + gather compaction as the conformance anchor.
 """
 
 from __future__ import annotations

@@ -118,15 +118,30 @@ def _warp_dist_one_view(
     return dist, jnp.swapaxes(skip_t, 1, 2), jnp.swapaxes(outside, 1, 2)
 
 
-def _use_fused_kernel(ny: int, nx: int) -> bool:
-    """The single-kernel engine (ops/warp_fused.py) needs a TPU backend
-    and lane-aligned plane dims; 2.4x the two-pass engine when it
-    applies, bit-identical output."""
-    return (
+def _use_fused_kernel(
+    ny: int, nx: int, sdf_images: Optional[jax.Array] = None
+) -> bool:
+    """The single-kernel engine (ops/warp_fused.py) needs a TPU backend,
+    lane-aligned plane dims, and a VMEM-sized working set; 2.4x the
+    two-pass engine when it applies, bit-identical output.
+
+    1024^2 planes are excluded: they compile and run but VMEM pressure
+    makes the kernel ~2.5x SLOWER than the unrolled scan (measured on
+    the 1024^3 x 100-view sweep), so the dispatch caps plane bytes at
+    512^2 and the resident image stack at 32 MB."""
+    if not (
         jax.default_backend() == "tpu"
         and nx % 128 == 0
         and ny % 128 == 0
-    )
+        and ny * nx * 4 <= (1 << 20)
+    ):
+        return False
+    if sdf_images is not None:
+        v, h, w = sdf_images.shape
+        wpad = -(-w // 128) * 128
+        if v * h * wpad * 4 > 32 * (1 << 20):
+            return False
+    return True
 
 
 @partial(jax.jit, static_argnames=("grid", "opt", "linear"))
@@ -154,7 +169,7 @@ def carve_views_warp(
         sdf_images = sdf_images[None]
     v_count = sdf_images.shape[0]
 
-    if _use_fused_kernel(*state.sdf.shape[1:]):
+    if _use_fused_kernel(*state.sdf.shape[1:], sdf_images):
         from .warp_fused import carve_views_warp_fused
 
         return carve_views_warp_fused(
@@ -222,7 +237,7 @@ def _carve_chunk(
     )
     cz = jax.lax.dynamic_slice(cz_full, (z_lo,), (chunk_nz,))
 
-    if _use_fused_kernel(ny, nx):
+    if _use_fused_kernel(ny, nx, sdf_images):
         from .warp_fused import warp_fuse_planes
 
         s, u = warp_fuse_planes(

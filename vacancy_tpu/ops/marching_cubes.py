@@ -583,6 +583,20 @@ def marching_cubes_slab(
     )
 
 
+def _slice_to_host(arr: jax.Array, n: int) -> np.ndarray:
+    """Fetch arr[:n] with a BUCKETED device slice: slicing at the exact
+    (varying) count would compile a fresh XLA program per unique size --
+    at 1024^3 the blocked driver makes hundreds of such slices and
+    remote-compile latency dominates extraction. Rounding the slice up
+    to a coarse geometric bucket (<=12.5% extra transfer) keeps the
+    program cache hot; the exact trim happens on host."""
+    if n <= 0:
+        return np.asarray(arr[:0])
+    gran = max(1024, 1 << max(0, int(n).bit_length() - 4))
+    m = min(arr.shape[0], -(-n // gran) * gran)
+    return np.asarray(arr[:m])[:n]
+
+
 def _assemble_slab_parts(pos_parts, lin_parts, face_parts) -> Mesh:
     """Assemble slab/shard emissions into the dense driver's exact mesh.
 
@@ -685,17 +699,18 @@ def extract_mesh_blocked(
         else:
             raise RuntimeError("marching cubes slab capacity loop failed")
         # slice on DEVICE before np.asarray so only real data crosses
-        # the host link (capacity buffers are heavily oversized)
+        # the host link (capacity buffers are heavily oversized); slices
+        # are bucketed so per-slab count variation doesn't recompile
         for a in range(3):
             n_k = counts[a]
             pos_parts[a].append(
-                np.stack([np.asarray(c[:n_k]) for c in vp[a]], axis=-1)
+                np.stack([_slice_to_host(c, n_k) for c in vp[a]], axis=-1)
             )
-            lin_parts[a].append(np.asarray(vl[a][:n_k]))
+            lin_parts[a].append(_slice_to_host(vl[a], n_k))
         face_parts.append(
             (
-                np.stack([np.asarray(c[:nf]) for c in fa], axis=-1),
-                np.stack([np.asarray(c[:nf]) for c in fl], axis=-1),
+                np.stack([_slice_to_host(c, nf) for c in fa], axis=-1),
+                np.stack([_slice_to_host(c, nf) for c in fl], axis=-1),
             )
         )
 
@@ -789,10 +804,10 @@ def extract_mesh(
             # assemble [N, 3] on host -- device arrays stay 1-D
             # (tiling); slice on device so only real data transfers
             verts = np.stack(
-                [np.asarray(c[:nv]) for c in vcomps], axis=-1
+                [_slice_to_host(c, nv) for c in vcomps], axis=-1
             )
             faces = np.stack(
-                [np.asarray(c[:nf]) for c in fcomps], axis=-1
+                [_slice_to_host(c, nf) for c in fcomps], axis=-1
             )
             return Mesh(vertices=verts, faces=faces)
         if nv > vcap:

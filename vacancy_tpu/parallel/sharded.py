@@ -38,7 +38,11 @@ from ..config import INVALID_SDF, VoxelUpdateOption
 from ..grid import GridSpec, VoxelGridState
 from ..mesh import Mesh as TriMesh
 from ..ops.fusion import fold_views
-from ..ops.marching_cubes import _assemble_slab_parts, _slab_emit
+from ..ops.marching_cubes import (
+    _assemble_slab_parts,
+    _slab_emit,
+    _slice_to_host,
+)
 
 AXIS = "z"
 
@@ -294,26 +298,26 @@ def extract_mesh_sharded(
             lin_parts = [[], [], []]
             face_parts = []
             for k in range(n):
-                # slice on device so only real data crosses the host link
+                # slice on device (bucketed -- see _slice_to_host) so
+                # only real data crosses the host link without per-size
+                # recompiles
                 for a in range(3):
                     n_k = int(vc[k, a])
                     comps = [
-                        np.asarray(
-                            vp[a][c].reshape(n, vcap)[k, :n_k]
-                        )
+                        _slice_to_host(vp[a][c].reshape(n, vcap)[k], n_k)
                         for c in range(3)
                     ]
                     pos_parts[a].append(np.stack(comps, axis=-1))
                     lin_parts[a].append(
-                        np.asarray(vl[a].reshape(n, vcap)[k, :n_k])
+                        _slice_to_host(vl[a].reshape(n, vcap)[k], n_k)
                     )
                 m_k = int(fc[k])
                 face_parts.append(
                     (
                         np.stack(
                             [
-                                np.asarray(
-                                    fa[j].reshape(n, fcap)[k, :m_k]
+                                _slice_to_host(
+                                    fa[j].reshape(n, fcap)[k], m_k
                                 )
                                 for j in range(3)
                             ],
@@ -321,8 +325,8 @@ def extract_mesh_sharded(
                         ),
                         np.stack(
                             [
-                                np.asarray(
-                                    fl[j].reshape(n, fcap)[k, :m_k]
+                                _slice_to_host(
+                                    fl[j].reshape(n, fcap)[k], m_k
                                 )
                                 for j in range(3)
                             ],
@@ -439,7 +443,7 @@ def carve_views_warp_sharded(
     def local_fn(sdf, un, cz, w2c_, pp_, fl_, imgs_, maxs_):
         from ..ops.fusion_warp import _use_fused_kernel
 
-        if _use_fused_kernel(*sdf.shape[1:]):
+        if _use_fused_kernel(*sdf.shape[1:], imgs_):
             # single-kernel engine per shard (bit-identical, ~2.4x)
             from ..ops.warp_fused import warp_fuse_planes
 
