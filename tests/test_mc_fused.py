@@ -100,3 +100,34 @@ def test_fused_bunny_golden_counts(bunny_data):
                                    linear_interp=li)
         np.testing.assert_array_equal(fused.vertices, dense.vertices)
         np.testing.assert_array_equal(fused.faces, dense.faces)
+
+
+@pytest.mark.parametrize("linear_interp", [True, False])
+def test_fused_y_split_equals_dense(monkeypatch, linear_interp):
+    """Wide-grid y partitioning (the 1024^2-plane path): forcing a tiny
+    sub-plane budget makes pick_y_parts split, and the split kernel must
+    stay byte-identical to the dense driver (halo rows + per-part
+    validity scratch)."""
+    from vacancy_tpu.ops import mc_fused
+
+    state, grid = _random_state(10, 16, 20, seed=7)
+    dense = extract_mesh(state, grid, linear_interp=linear_interp,
+                         engine="xla")
+    monkeypatch.setattr(mc_fused, "_MAX_PART_BYTES", 16 * 20 * 4 // 2)
+    assert mc_fused.pick_y_parts(16, 20) == 2
+    fused = mc_fused.extract_mesh_fused(
+        state, grid, linear_interp=linear_interp
+    )
+    np.testing.assert_array_equal(fused.vertices, dense.vertices)
+    np.testing.assert_array_equal(fused.faces, dense.faces)
+
+
+def test_pick_y_parts():
+    from vacancy_tpu.ops.mc_fused import pick_y_parts
+
+    assert pick_y_parts(256, 256) == 1
+    assert pick_y_parts(512, 512) == 1
+    assert pick_y_parts(1024, 1024) == 4
+    assert pick_y_parts(2048, 2048) == 16
+    # un-partitionable: odd ny at a size that needs splitting
+    assert pick_y_parts(1023, 1024) is None

@@ -733,11 +733,6 @@ def _pick_slab_nz(nz: int, ny: int, nx: int, default: int = 48) -> int:
     return max(1, min(default, by_mem, nz - 3))
 
 
-# the fused Pallas kernel holds ~25 full-width planes in VMEM; one f32
-# plane may be at most this many bytes (512^2 planes fit on v5e)
-_FUSED_MAX_PLANE_BYTES = 1 << 20
-
-
 def extract_mesh(
     state: VoxelGridState,
     grid: GridSpec,
@@ -762,18 +757,19 @@ def extract_mesh(
     nz, ny, nx = state.sdf.shape
     if engine not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown engine {engine!r}")
-    use_fused = engine == "fused" or (
-        engine == "auto"
-        and jax.default_backend() == "tpu"
-        and min(nz, ny, nx) >= 2
-        and ny * nx * 4 <= _FUSED_MAX_PLANE_BYTES
-    )
-    if use_fused:
-        from .mc_fused import extract_mesh_fused
+    if engine != "xla":
+        from .mc_fused import extract_mesh_fused, pick_y_parts
 
-        return extract_mesh_fused(
-            state, grid, iso_level=iso_level, linear_interp=linear_interp
+        use_fused = engine == "fused" or (
+            jax.default_backend() == "tpu"
+            and min(nz, ny, nx) >= 2
+            and pick_y_parts(ny, nx) is not None
         )
+        if use_fused:
+            return extract_mesh_fused(
+                state, grid, iso_level=iso_level,
+                linear_interp=linear_interp,
+            )
     if nz * ny * nx > _DENSE_MAX_VOXELS:
         slab = _pick_slab_nz(nz, ny, nx)
         if nz > slab + 2:

@@ -8,12 +8,13 @@ cycle/element loop on TPU) -- ~1.7 s warm for a dense 256^3 grid, with
 compact"): one pass over the grid in z-planes, everything in VMEM, HBM
 traffic ~= one read of (sdf, update_num >= 1) plus the compacted outputs.
 
-Per grid step (one z-plane; the k / min(k+1, nz-1) plane index maps give
-the +z neighborhood and Pallas pipelines the loads), entirely on the VPU:
+Per grid step (one z-plane, or a y-part of one for wide grids; the
+k / min(k+1, nz-1) plane index maps give the +z neighborhood and Pallas
+pipelines the loads), entirely on the VPU:
 
   1. cube validity + case index for the cubes based at this plane; the
-     previous plane's validity is carried in a one-plane VMEM scratch
-     (the TPU grid runs steps sequentially);
+     previous plane's validity is carried in a parity-banked VMEM
+     scratch (the TPU grid runs steps sequentially);
   2. per-axis canonical-edge flags and interpolated vertex positions --
      identical formulas to ops/marching_cubes._mc_geometry (reference
      semantics marching_cubes.cc:25-57,88-133), including the no-interp
@@ -23,10 +24,22 @@ the +z neighborhood and Pallas pipelines the loads), entirely on the VPU:
      f with rank r (flagged elements before it) must move left by
      d = f - r; processing bit b of d for every element simultaneously
      (move left by 2^b iff set, bits ascending) is collision-free because
-     d is non-decreasing in f, so log2(ny*nx) vectorized roll+select
+     d is non-decreasing in f, so log2(E*nx) vectorized roll+select
      passes fully pack the stream. No scatter, no serial per-element
-     loop, no dynamic stores: each plane writes one fixed-capacity
+     loop, no dynamic output stores: each step writes one fixed-capacity
      compacted block at a static offset.
+
+**Wide grids (y partitioning).** VMEM holds ~25 live planes, so full
+1024^2 planes (4 MB) blow the budget. The grid is therefore
+(nz, y_parts): each step works on an *extended* sub-plane of
+ny/y_parts + 2 rows -- its slice plus one halo row below and above,
+fetched as separate one-row blocks whose index maps clamp at the grid
+boundary and are overwritten with the InvalidSdf sentinel there, so the
+boundary semantics are identical to the dense formulation (an
+out-of-grid neighbor is exactly an invalid voxel). Each step emits only
+its owned rows; emission order over (k, p) steps equals global
+(z, y, x) flat order, so assembly is unchanged. y_parts = 1 reduces to
+the plain per-plane kernel (same code path).
 
 The triangle table never enters the kernel: an active cube (case not in
 {0, 255}) emits its (owner linear id, case) pair and the host expands
@@ -65,6 +78,25 @@ from .mc_tables import (
 )
 
 _INVALID = float(INVALID_SDF)
+
+# one f32 working sub-plane may use at most this many bytes (the kernel
+# holds ~25 of them live; 512^2 fits comfortably on this chip)
+_MAX_PART_BYTES = 1 << 20
+
+
+def pick_y_parts(ny: int, nx: int) -> Optional[int]:
+    """Smallest power-of-two y partition whose sub-planes fit the VMEM
+    budget, or None if the grid can't be partitioned cleanly (callers
+    fall back to the XLA drivers)."""
+    h = 1
+    while ny * nx * 4 // h > _MAX_PART_BYTES:
+        h *= 2
+    if h == 1:
+        return 1 if min(ny, nx) >= 2 else None
+    ny2 = ny // h
+    if h > 16 or ny % h != 0 or ny2 % 8 != 0 or ny2 < 8:
+        return None
+    return h
 
 
 # ---------------------------------------------------------------------------
@@ -159,51 +191,110 @@ def _mc_fused_kernel(
     nz: int,
     ny: int,
     nx: int,
+    y_parts: int,
     iso_level: float,
     linear_interp: bool,
     rows_e: int,
     rows_c: int,
 ):
-    def kernel(
-        cz_ref,  # SMEM f32[1, nz] z centers
-        s0_ref,  # VMEM f32[1, ny, nx] sdf plane k
-        s1_ref,  # VMEM f32[1, ny, nx] sdf plane min(k+1, nz-1)
-        u1_ref,  # VMEM i8[1, ny, nx] (update_num >= 1) plane min(k+1,.)
-        cx_ref,  # VMEM f32[1, nx] x centers
-        cy_ref,  # VMEM f32[ny, 1] y centers
-        vx_pos_ref,  # f32[1, rows_e, nx]  x-edge interpolated coordinate
-        vx_lin_ref,  # i32[1, rows_e, nx]  x-edge owner linear id
-        vy_pos_ref,
-        vy_lin_ref,
-        vz_pos_ref,
-        vz_lin_ref,
-        c_lin_ref,  # i32[1, rows_c, nx]  active-cube base linear id
-        c_case_ref,  # i32[1, rows_c, nx]  active-cube case index
-        counts_ref,  # SMEM i32[1, 1, 8] lanes 0..3 = x/y/z/cube counts
-        cv_prev,  # VMEM i32[ny, nx] scratch: previous plane's validity
-    ):
+    ny2 = ny // y_parts
+    # extended rows: owned slice + one halo row each side, padded to a
+    # sublane multiple (Mosaic miscompiles some shapes at odd row counts)
+    e = -(-(ny2 + 2) // 8) * 8
+    tail = e - ny2 - 2  # dead invalid rows at the end
+
+    def kernel(*refs):
+        # TPU block shapes need 8-divisible row dims, so y_parts == 1
+        # (where both halo rows are the grid boundary and always
+        # invalid) passes no halo inputs at all, and y_parts > 1 fetches
+        # 8-row halo blocks whose in-block offsets are static
+        # (ny2 % 8 == 0 puts the below row at offset 7, the above at 0).
+        if y_parts == 1:
+            (cz_ref, s0m_ref, s1m_ref, u1m_ref, cx_ref, cy_ref,
+             vx_pos_ref, vx_lin_ref, vy_pos_ref, vy_lin_ref,
+             vz_pos_ref, vz_lin_ref, c_lin_ref, c_case_ref,
+             counts_ref, cv_prev) = refs
+        else:
+            (cz_ref, s0m_ref, s0b_ref, s0a_ref, s1m_ref, s1b_ref,
+             s1a_ref, u1m_ref, u1b_ref, u1a_ref, cx_ref, cy_ref,
+             vx_pos_ref, vx_lin_ref, vy_pos_ref, vy_lin_ref,
+             vz_pos_ref, vz_lin_ref, c_lin_ref, c_case_ref,
+             counts_ref, cv_prev) = refs
         k = pl.program_id(0)
+        # with a single y part every p-dependent quantity is static;
+        # keeping it python-typed avoids dynamic scratch slicing, which
+        # interacts badly with Mosaic at multi-tile widths
+        p = pl.program_id(1) if y_parts > 1 else 0
         is_last = k == nz - 1
+        is_first_row = (p == 0) if y_parts > 1 else True
+        is_last_row = (p == y_parts - 1) if y_parts > 1 else True
 
-        s0 = s0_ref[0]
-        s1 = jnp.where(is_last, jnp.float32(_INVALID), s1_ref[0])
-        u1 = jnp.where(is_last, 0, u1_ref[0].astype(jnp.int32))
+        first_step = (k == 0) & is_first_row if y_parts > 1 else k == 0
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-        lattice = (row < ny - 1) & (lane < nx - 1)
+        @pl.when(first_step)
+        def _():
+            cv_prev[...] = jnp.zeros((2, y_parts, e, nx), jnp.int32)
 
-        def sx(p):  # p[j, i+1] (garbage at i = nx-1; lattice-masked)
-            return pltpu.roll(p, nx - 1, 1)
+        inval = jnp.full((1, nx), jnp.float32(_INVALID))
 
-        def sy(p):  # p[j+1, i]
-            return pltpu.roll(p, ny - 1, 0)
+        inval_tail = jnp.full((tail, nx), jnp.float32(_INVALID))
+        zero_tail = jnp.zeros((tail, nx), jnp.int32)
 
-        def sxp(p):  # p[j, i-1], 0 at i == 0
-            return jnp.where(lane >= 1, pltpu.roll(p, 1, 1), 0)
+        def ext_f32(b_ref, m_ref, a_ref):
+            # halo rows clamped at the grid boundary become InvalidSdf:
+            # an out-of-grid neighbor IS an invalid voxel
+            if y_parts == 1:
+                below = above = inval
+            else:
+                below = jnp.where(is_first_row, inval, b_ref[0, 7:8, :])
+                above = jnp.where(is_last_row, inval, a_ref[0, 0:1, :])
+            parts = [below, m_ref[0], above]
+            if tail:
+                parts.append(inval_tail)
+            return jnp.concatenate(parts, axis=0)
 
-        def syp(p):  # p[j-1, i], 0 at j == 0
-            return jnp.where(row >= 1, pltpu.roll(p, 1, 0), 0)
+        def ext_i(b_ref, m_ref, a_ref):
+            if y_parts == 1:
+                below = above = jnp.zeros((1, nx), jnp.int32)
+            else:
+                below = jnp.where(
+                    is_first_row, 0, b_ref[0, 7:8, :].astype(jnp.int32)
+                )
+                above = jnp.where(
+                    is_last_row, 0, a_ref[0, 0:1, :].astype(jnp.int32)
+                )
+            parts = [below, m_ref[0].astype(jnp.int32), above]
+            if tail:
+                parts.append(zero_tail)
+            return jnp.concatenate(parts, axis=0)
+
+        if y_parts == 1:
+            s0b_ref = s0a_ref = s1b_ref = s1a_ref = None
+            u1b_ref = u1a_ref = None
+        s0 = ext_f32(s0b_ref, s0m_ref, s0a_ref)
+        s1 = jnp.where(
+            is_last, jnp.float32(_INVALID), ext_f32(s1b_ref, s1m_ref,
+                                                    s1a_ref)
+        )
+        u1 = jnp.where(is_last, 0, ext_i(u1b_ref, u1m_ref, u1a_ref))
+
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (e, nx), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (e, nx), 1)
+        grow = lrow + (p * ny2 - 1)  # global voxel row (j); -1 at guard
+        lattice = (grow < ny - 1) & (lane < nx - 1)
+        owned = (lrow >= 1) & (lrow <= ny2)
+
+        def sx(q):  # q[j, i+1] (garbage at i = nx-1; lattice-masked)
+            return pltpu.roll(q, nx - 1, 1)
+
+        def sy(q):  # q[j+1, i] (within the extended rows)
+            return pltpu.roll(q, e - 1, 0)
+
+        def sxp(q):  # q[j, i-1], 0 at i == 0
+            return jnp.where(lane >= 1, pltpu.roll(q, 1, 1), 0)
+
+        def syp(q):  # q[j-1, i] (row 0 wrap garbage is never owned)
+            return jnp.where(lrow >= 1, pltpu.roll(q, 1, 0), 0)
 
         # --- cube validity + case for cubes based at plane k ---
         # corner c = plane(z + dz)[j + dy, i + dx], CORNER_OFFSETS order:
@@ -221,25 +312,32 @@ def _mc_fused_kernel(
         # CENTER voxel -- corner 6 = (1,1,1) -- must have update_num >= 1
         cv_k = (all_valid & (sy(sx(u1)) >= 1)).astype(jnp.int32)
 
-        case = jnp.zeros((ny, nx), jnp.int32)
+        case = jnp.zeros((e, nx), jnp.int32)
         for c in range(8):
             case |= (corners[c] < iso_level).astype(jnp.int32) << c
 
-        # previous plane's cube validity: sequential grid -> the scratch
-        # still holds step k-1's value; no cube is based below plane 0.
-        cv_km1 = jnp.where(k == 0, 0, cv_prev[:])
-        cv_prev[:] = cv_k
+        # previous plane's cube validity from the parity bank this part
+        # wrote at step k-1 (sequential grid). cv values beyond ext row
+        # ny2 may be stale/invalid there but are never read (adjacency
+        # shifts only reach rows [0, ny2]).
+        prev = cv_prev[(k + 1) % 2, p]
+        cv_km1 = jnp.where(k == 0, 0, prev)
+        cv_prev[k % 2, p] = cv_k
 
-        lin = _flat_iota(ny, nx) + k * (ny * nx)
+        lin = k * (ny * nx) + grow * nx + jax.lax.broadcasted_iota(
+            jnp.int32, (e, nx), 1
+        )
 
         # --- x-edge stream (owner voxel at this plane) ---
-        straddle_x = ((s0 < iso_level) != (s0x < iso_level)) & (lane < nx - 1)
+        straddle_x = ((s0 < iso_level) != (s0x < iso_level)) & (
+            lane < nx - 1
+        )
         # 4 adjacent cubes in (z, y) scan order: (k-1,j-1) (k-1,j)
         # (k,j-1) (k,j)
         c0, c1 = syp(cv_km1), cv_km1
         c2, c3 = syp(cv_k), cv_k
         adj_x = (c0 | c1 | c2 | c3) > 0
-        px0 = jnp.broadcast_to(cx_ref[:], (ny, nx))
+        px0 = jnp.broadcast_to(cx_ref[:], (e, nx))
         px1 = sx(px0)
         if linear_interp:
             pos_x = _edge_vertex_interp(s0, s0x, px0, px1, iso_level)
@@ -249,7 +347,7 @@ def _mc_fused_kernel(
             up = (c0 > 0) | ((c0 == 0) & (c1 == 0) & (c2 > 0))
             pos_x = jnp.where(up, px1, px0)
         _compact_write(
-            straddle_x & adj_x,
+            straddle_x & adj_x & owned,
             (pos_x, lin),
             (vx_pos_ref, vx_lin_ref),
             counts_ref,
@@ -258,13 +356,15 @@ def _mc_fused_kernel(
         )
 
         # --- y-edge stream ---
-        straddle_y = ((s0 < iso_level) != (s0y < iso_level)) & (row < ny - 1)
+        straddle_y = ((s0 < iso_level) != (s0y < iso_level)) & (
+            grow < ny - 1
+        )
         # adjacent cubes in (z, x) scan order: (k-1,i-1) (k-1,i)
         # (k,i-1) (k,i)
         c0, c1 = sxp(cv_km1), cv_km1
         c2, c3 = sxp(cv_k), cv_k
         adj_y = (c0 | c1 | c2 | c3) > 0
-        py0 = jnp.broadcast_to(cy_ref[:], (ny, nx))
+        py0 = jnp.broadcast_to(cy_ref[pl.ds(p * ny2, e), :], (e, nx))
         py1 = sy(py0)
         if linear_interp:
             pos_y = _edge_vertex_interp(s0, s0y, py0, py1, iso_level)
@@ -275,7 +375,7 @@ def _mc_fused_kernel(
             )
             pos_y = jnp.where(up, py1, py0)
         _compact_write(
-            straddle_y & adj_y,
+            straddle_y & adj_y & owned,
             (pos_y, lin),
             (vy_pos_ref, vy_lin_ref),
             counts_ref,
@@ -296,10 +396,10 @@ def _mc_fused_kernel(
             pos_z = _edge_vertex_interp(s0, s1, pz0, pz1, iso_level)
         else:
             # z-edges always take the lower end (edges 8-11 point +z)
-            pos_z = jnp.zeros((ny, nx), jnp.float32) + pz0
+            pos_z = jnp.zeros((e, nx), jnp.float32) + pz0
         _compact_write(
-            straddle_z & adj_z,
-            (jnp.broadcast_to(pos_z, (ny, nx)), lin),
+            straddle_z & adj_z & owned,
+            (jnp.broadcast_to(pos_z, (e, nx)), lin),
             (vz_pos_ref, vz_lin_ref),
             counts_ref,
             2,
@@ -307,7 +407,7 @@ def _mc_fused_kernel(
         )
 
         # --- active-cube stream (case strictly between 0 and 255) ---
-        cube_flag = (cv_k > 0) & (case != 0) & (case != 255)
+        cube_flag = (cv_k > 0) & (case != 0) & (case != 255) & owned
         _compact_write(
             cube_flag,
             (lin, case),
@@ -326,6 +426,7 @@ def _mc_fused_kernel(
         "grid",
         "iso_level",
         "linear_interp",
+        "y_parts",
         "rows_e",
         "rows_c",
         "interpret",
@@ -336,70 +437,143 @@ def marching_cubes_fused(
     grid: GridSpec,
     iso_level: float = 0.0,
     linear_interp: bool = True,
+    y_parts: int = 1,
     rows_e: int = 32,
     rows_c: int = 32,
     interpret: bool = False,
 ):
-    """Run the fused kernel; returns per-plane compacted streams.
+    """Run the fused kernel; returns per-step compacted streams.
 
-    Returns (vx_pos, vx_lin, vy_pos, vy_lin, vz_pos, vz_lin, c_lin,
-    c_case) each [nz, rows, nx], plus counts i32[nz, 8] (lanes 0..3 =
-    x/y/z edge and cube counts per plane). Per-plane capacities are
-    rows * nx elements; counts are exact regardless, so callers re-run
-    with more rows on overflow."""
+    Steps are (z-plane, y-part) pairs in row-major order. Returns
+    (vx_pos, vx_lin, vy_pos, vy_lin, vz_pos, vz_lin, c_lin, c_case)
+    each [nz * y_parts, rows, nx], plus counts i32[nz * y_parts, 1, 8]
+    (lanes 0..3 = x/y/z edge and cube counts per step). Per-step
+    capacities are rows * nx elements; counts are exact regardless, so
+    callers re-run with more rows on overflow."""
     nz, ny, nx = state.sdf.shape
+    h = y_parts
+    ny2 = ny2_ = ny // h
+    assert ny2 * h == ny, (ny, h)
     u8 = (state.update_num >= 1).astype(jnp.int8)
+    e_rows = -(-(ny2 + 2) // 8) * 8
+    cy_rows = ny + e_rows - ny2  # one pad row below + tail pad above
     cx = jnp.asarray(grid.axis_centers(0)).reshape(1, nx)
-    cy = jnp.asarray(grid.axis_centers(1)).reshape(ny, 1)
+    cy = jnp.pad(
+        jnp.asarray(grid.axis_centers(1)), (1, cy_rows - ny - 1)
+    ).reshape(cy_rows, 1)
     cz = jnp.asarray(grid.axis_centers(2)).reshape(1, nz)
 
     kernel = _mc_fused_kernel(
-        nz, ny, nx, float(iso_level), bool(linear_interp), rows_e, rows_c
+        nz, ny, nx, h, float(iso_level), bool(linear_interp),
+        rows_e, rows_c,
     )
-    plane = lambda f: pl.BlockSpec(  # noqa: E731
-        (1, ny, nx), f, memory_space=pltpu.VMEM
+    zp1 = lambda k, p: jnp.minimum(k + 1, nz - 1)  # noqa: E731
+    nb8 = max(ny // 8, 1)  # 8-row halo blocks (ny2 % 8 == 0 when h > 1)
+    main0 = pl.BlockSpec(
+        (1, ny2, nx), lambda k, p: (k, p, 0), memory_space=pltpu.VMEM
+    )
+    below0 = pl.BlockSpec(
+        (1, 8, nx),
+        lambda k, p: (k, jnp.maximum(p * (ny2 // 8) - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    above0 = pl.BlockSpec(
+        (1, 8, nx),
+        lambda k, p: (k, jnp.minimum((p + 1) * (ny2 // 8), nb8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    main1 = pl.BlockSpec(
+        (1, ny2, nx), lambda k, p: (zp1(k, p), p, 0),
+        memory_space=pltpu.VMEM,
+    )
+    below1 = pl.BlockSpec(
+        (1, 8, nx),
+        lambda k, p: (zp1(k, p), jnp.maximum(p * (ny2 // 8) - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    above1 = pl.BlockSpec(
+        (1, 8, nx),
+        lambda k, p: (
+            zp1(k, p), jnp.minimum((p + 1) * (ny2 // 8), nb8 - 1), 0
+        ),
+        memory_space=pltpu.VMEM,
     )
     out_e = pl.BlockSpec(
-        (1, rows_e, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+        (1, rows_e, nx), lambda k, p: (k * h + p, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     out_c = pl.BlockSpec(
-        (1, rows_c, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+        (1, rows_c, nx), lambda k, p: (k * h + p, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    shp_e = jax.ShapeDtypeStruct((nz, rows_e, nx), jnp.float32)
-    shp_ei = jax.ShapeDtypeStruct((nz, rows_e, nx), jnp.int32)
-    shp_ci = jax.ShapeDtypeStruct((nz, rows_c, nx), jnp.int32)
+    b = nz * h
+    shp_e = jax.ShapeDtypeStruct((b, rows_e, nx), jnp.float32)
+    shp_ei = jax.ShapeDtypeStruct((b, rows_e, nx), jnp.int32)
+    shp_ci = jax.ShapeDtypeStruct((b, rows_c, nx), jnp.int32)
 
     return pl.pallas_call(
         kernel,
-        grid=(nz,),
-        in_specs=[
-            pl.BlockSpec((1, nz), lambda k: (0, 0), memory_space=pltpu.SMEM),
-            plane(lambda k: (k, 0, 0)),
-            plane(lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)),
-            plane(lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)),
-            pl.BlockSpec((1, nx), lambda k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, 1), lambda k: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid=(nz, h),
+        in_specs=(
+            [
+                pl.BlockSpec(
+                    (1, nz), lambda k, p: (0, 0), memory_space=pltpu.SMEM
+                )
+            ]
+            + (
+                [main0, main1, main1]
+                if h == 1
+                else [
+                    main0, below0, above0,
+                    main1, below1, above1,
+                    main1, below1, above1,  # u8: plane-(k+1) index maps
+                ]
+            )
+            + [
+                pl.BlockSpec(
+                    (1, nx), lambda k, p: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (cy_rows, 1), lambda k, p: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
         out_specs=(
             out_e, out_e, out_e, out_e, out_e, out_e, out_c, out_c,
             pl.BlockSpec(
-                (1, 1, 8), lambda k: (k, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, 8), lambda k, p: (k * h + p, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
         ),
         out_shape=(
             shp_e, shp_ei, shp_e, shp_ei, shp_e, shp_ei, shp_ci, shp_ci,
-            jax.ShapeDtypeStruct((nz, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((ny, nx), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, h, -(-(ny2_ + 2) // 8) * 8, nx), jnp.int32)
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             # the default 16MB scoped-vmem limit is far below this chip's
             # physical VMEM (a 100MB scratch probe passes); 512-wide
-            # planes need ~25MB of live intermediates
+            # sub-planes need ~25MB of live intermediates
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cz, state.sdf, state.sdf, u8, cx, cy)
+    )(
+        cz,
+        *(
+            (state.sdf, state.sdf, u8)
+            if h == 1
+            else (
+                state.sdf, state.sdf, state.sdf,
+                state.sdf, state.sdf, state.sdf,
+                u8, u8, u8,
+            )
+        ),
+        cx, cy,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -408,19 +582,19 @@ def marching_cubes_fused(
 
 
 def _pack_streams(arrs: Tuple[jax.Array, ...], counts: jax.Array, cap: int):
-    """Concatenate per-plane compacted blocks into one packed stream.
+    """Concatenate per-step compacted blocks into one packed stream.
 
-    arrs: same-count streams [nz, rows, nx]; counts i32[nz]. Returns
-    each as [cap] with the first sum(counts) entries valid -- a pure
-    gather (no scatter), O(cap) work."""
-    nz, rows, nx = arrs[0].shape
+    arrs: same-count streams [B, rows, nx]; counts i32[B]. Returns each
+    as [cap] with the first sum(counts) entries valid -- a pure gather
+    (no scatter), O(cap) work."""
+    nb, rows, nx = arrs[0].shape
     rw = rows * nx
     offs = jnp.cumsum(counts)  # inclusive
     j = jnp.arange(cap, dtype=jnp.int32)
     b = jnp.searchsorted(offs, j, side="right").astype(jnp.int32)
-    b = jnp.minimum(b, nz - 1)
+    b = jnp.minimum(b, nb - 1)
     idx = jnp.clip(j - (offs[b] - counts[b]), 0, rw - 1)
-    return tuple(a.reshape(nz, rw)[b, idx] for a in arrs)
+    return tuple(a.reshape(nb, rw)[b, idx] for a in arrs)
 
 
 @partial(jax.jit, static_argnames=("caps",))
@@ -506,29 +680,37 @@ def extract_mesh_fused(
 ) -> Mesh:
     """Fused-kernel marching cubes -> the dense driver's exact mesh.
 
-    Runs the kernel (re-running with larger per-plane capacities if any
-    plane overflows -- counts are exact either way), packs the per-plane
+    Runs the kernel (re-running with larger per-step capacities if any
+    step overflows -- counts are exact either way), packs the per-step
     blocks into flat streams on device, and assembles the mesh on host:
     vertex fixed coordinates are recomputed from owner ids, faces expand
     from (cube id, case) pairs via the triangle table."""
     nz, ny, nx = state.sdf.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    rows_e = rows_c = min(ny, rows_hint or max(4, ny // 8))
+    h = pick_y_parts(ny, nx)
+    if h is None:
+        raise ValueError(
+            f"grid plane {ny}x{nx} cannot be y-partitioned for the fused "
+            "kernel; use the XLA drivers (extract_mesh engine='xla')"
+        )
+    ny2 = ny // h
+    rows_e = rows_c = min(ny2 + 2, rows_hint or max(4, ny2 // 8))
     for _ in range(8):
         outs = marching_cubes_fused(
             state, grid,
             iso_level=float(iso_level),
             linear_interp=bool(linear_interp),
+            y_parts=h,
             rows_e=rows_e, rows_c=rows_c, interpret=bool(interpret),
         )
-        counts = np.asarray(outs[8]).reshape(-1, 8)  # [nz, 8]
+        counts = np.asarray(outs[8]).reshape(-1, 8)  # [nz*h, 8]
         need_e = int(counts[:, :3].max(initial=0))
         need_c = int(counts[:, 3].max(initial=0))
         if need_e <= rows_e * nx and need_c <= rows_c * nx:
             break
-        rows_e = min(ny, max(rows_e * 2, -(-need_e // nx)))
-        rows_c = min(ny, max(rows_c * 2, -(-need_c // nx)))
+        rows_e = min(ny2 + 2, max(rows_e * 2, -(-need_e // nx)))
+        rows_c = min(ny2 + 2, max(rows_c * 2, -(-need_c // nx)))
     else:
         raise RuntimeError("fused MC capacity loop failed to converge")
 
