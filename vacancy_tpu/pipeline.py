@@ -443,6 +443,10 @@ def main(argv=None):
     s.add_argument("--out", default=None)
     s.add_argument("--piece-dir", default=None,
                    help="shared dir for per-shard mesh pieces (multi-host)")
+    s.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host)")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
     for sp in (t, s):
         sp.add_argument(
             "--cpu", type=int, default=0, metavar="N",
@@ -456,6 +460,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(args.cpu))
+    if getattr(args, "coordinator", None) is not None:
+        # multi-host process group (DCN): run this same command once per
+        # process with its --process-id; the z-sharded grid then spans
+        # every host's devices and extraction assembles on process 0
+        from .parallel import initialize_distributed
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
     from .utils.timing import trace as profiler_trace
 
     if args.cmd == "bunny":
