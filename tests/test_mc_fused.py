@@ -131,3 +131,88 @@ def test_pick_y_parts():
     assert pick_y_parts(2048, 2048) == 16
     # un-partitionable: odd ny at a size that needs splitting
     assert pick_y_parts(1023, 1024) is None
+
+
+def test_flat_compaction_building_blocks():
+    """The in-VMEM primitives against numpy: flat cumsum and LSB-first
+    binary-shift compaction over random planes (interpret mode executes
+    the identical jnp ops the TPU runs)."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vacancy_tpu.ops.mc_fused import _compact_write, _flat_cumsum
+
+    rng = np.random.default_rng(3)
+    s, w = 24, 40
+
+    def cumsum_kernel(x_ref, o_ref):
+        o_ref[:] = _flat_cumsum(x_ref[:])
+
+    x = rng.integers(0, 3, size=(s, w)).astype(np.int32)
+    out = pl.pallas_call(
+        cumsum_kernel,
+        out_shape=jax.ShapeDtypeStruct((s, w), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1), np.cumsum(x.reshape(-1))
+    )
+
+    def compact_kernel(f_ref, p1_ref, p2_ref, o1_ref, o2_ref, c_ref):
+        # adapters: _compact_write expects refs indexed as ref[0] = rows
+        # and a (1, 1, 8) SMEM counts ref; the flat test refs differ
+        _compact_write(
+            f_ref[:] > 0,
+            (p1_ref[:], p2_ref[:]),
+            (_Wrap(o1_ref), _Wrap(o2_ref)),
+            _Wrap3(c_ref),
+            0,
+            s,
+        )
+
+    class _Wrap:
+        """Adapter: _compact_write writes ref[0] = plane[:rows]."""
+
+        def __init__(self, ref):
+            self.ref = ref
+
+        def __setitem__(self, idx, val):
+            assert idx == 0
+            self.ref[:] = val
+
+    class _Wrap3:
+        def __init__(self, ref):
+            self.ref = ref
+
+        def __setitem__(self, idx, val):
+            self.ref[idx[2]] = val
+
+    for density in (0.0, 0.02, 0.5, 1.0):
+        flags = (rng.random((s, w)) < density).astype(np.int32)
+        pay1 = rng.normal(size=(s, w)).astype(np.float32)
+        pay2 = rng.integers(0, 10**6, size=(s, w)).astype(np.int32)
+        o1, o2, cnt = pl.pallas_call(
+            compact_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((s, w), jnp.float32),
+                jax.ShapeDtypeStruct((s, w), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=True,
+        )(jnp.asarray(flags), jnp.asarray(pay1), jnp.asarray(pay2))
+        n = int(cnt[0])
+        assert n == flags.sum()
+        sel = flags.reshape(-1) > 0
+        np.testing.assert_array_equal(
+            np.asarray(o1).reshape(-1)[:n], pay1.reshape(-1)[sel]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o2).reshape(-1)[:n], pay2.reshape(-1)[sel]
+        )
