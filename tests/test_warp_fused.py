@@ -102,3 +102,27 @@ def test_fused_multi_call_accumulates():
     np.testing.assert_array_equal(
         np.asarray(ref.update_num), np.asarray(st.update_num)
     )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(3, 128, 256, 1), (5, 256, 128, 2)],
+    ids=["wide-x-1view", "tall-y-2views"],
+)
+def test_fused_equals_twopass_shapes(shape):
+    """Lane-tile coverage: nx spanning 1 and 2 lane tiles, odd nz,
+    single-view batches."""
+    nz, ny, nx, n_views = shape
+    grid, state, w2c, pp, fl, imgs = _setup(
+        nz=nz, ny=ny, nx=nx, n_views=n_views
+    )
+    opt = VoxelUpdateOption()
+    a = carve_views_warp(state, grid, w2c, pp, fl, imgs, opt=opt)
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
