@@ -220,3 +220,39 @@ def test_sharded_warp_fusion_bitwise_equal(n_shards):
     np.testing.assert_array_equal(
         np.asarray(sharded.update_num), np.asarray(dense.update_num)
     )
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+@pytest.mark.parametrize("linear_interp", [True, False])
+def test_sharded_fused_mc_equals_dense(n_shards, linear_interp):
+    """The FUSED Pallas kernel under shard_map (halo-extended blocks,
+    silenced halo planes, global z-base) emits the byte-identical mesh
+    to the single-device dense extraction."""
+    from vacancy_tpu.config import INVALID_SDF
+    from vacancy_tpu.parallel import extract_mesh_fused_sharded
+
+    _require_devices(n_shards)
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 16, 12, 20
+    sdf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    sdf[rng.random((nz, ny, nx)) < 0.05] = INVALID_SDF
+    un = (rng.random((nz, ny, nx)) < 0.9).astype(np.int32)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf), update_num=jnp.asarray(un)
+    )
+    dense = extract_mesh(state, grid, linear_interp=linear_interp,
+                         engine="xla")
+    sh = extract_mesh_fused_sharded(
+        state, grid, make_device_mesh(n_shards),
+        linear_interp=linear_interp,
+    )
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)

@@ -196,7 +196,12 @@ def _mc_fused_kernel(
     linear_interp: bool,
     rows_e: int,
     rows_c: int,
+    own_k: Optional[Tuple[int, int]] = None,
+    with_zbase: bool = False,
 ):
+    """own_k=(lo, hi) restricts emission to planes lo <= k < hi (the
+    sharded driver's halo planes emit nothing); with_zbase adds an SMEM
+    scalar added to k for GLOBAL linear ids (the shard's z offset)."""
     ny2 = ny // y_parts
     # extended rows: owned slice + one halo row each side, padded to a
     # sublane multiple (Mosaic miscompiles some shapes at odd row counts)
@@ -209,6 +214,8 @@ def _mc_fused_kernel(
         # invalid) passes no halo inputs at all, and y_parts > 1 fetches
         # 8-row halo blocks whose in-block offsets are static
         # (ny2 % 8 == 0 puts the below row at offset 7, the above at 0).
+        refs = list(refs)
+        zb_ref = refs.pop(1) if with_zbase else None
         if y_parts == 1:
             (cz_ref, s0m_ref, s1m_ref, u1m_ref, cx_ref, cy_ref,
              vx_pos_ref, vx_lin_ref, vy_pos_ref, vy_lin_ref,
@@ -324,9 +331,13 @@ def _mc_fused_kernel(
         cv_km1 = jnp.where(k == 0, 0, prev)
         cv_prev[k % 2, p] = cv_k
 
-        lin = k * (ny * nx) + grow * nx + jax.lax.broadcasted_iota(
+        gz = k + zb_ref[0, 0] if with_zbase else k
+        lin = gz * (ny * nx) + grow * nx + jax.lax.broadcasted_iota(
             jnp.int32, (e, nx), 1
         )
+        if own_k is not None:
+            # halo planes of a sharded block emit nothing
+            owned = owned & (k >= own_k[0]) & (k < own_k[1])
 
         # --- x-edge stream (owner voxel at this plane) ---
         straddle_x = ((s0 < iso_level) != (s0x < iso_level)) & (
@@ -420,29 +431,24 @@ def _mc_fused_kernel(
     return kernel
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "grid",
-        "iso_level",
-        "linear_interp",
-        "y_parts",
-        "rows_e",
-        "rows_c",
-        "interpret",
-    ),
-)
-def marching_cubes_fused(
-    state: VoxelGridState,
-    grid: GridSpec,
+def mc_fused_call(
+    sdf: jax.Array,  # f32[nz, ny, nx] (a sharded driver passes its
+    # halo-extended local block)
+    un8: jax.Array,  # i8[nz, ny, nx] (update_num >= 1)
+    cx: jax.Array,  # f32[nx]
+    cy: jax.Array,  # f32[ny]
+    cz: jax.Array,  # f32[nz] (local centers incl. any halo planes)
+    zb=None,  # i32[] global z of plane 0 (sharded); None = 0
+    *,
+    y_parts: int = 1,
     iso_level: float = 0.0,
     linear_interp: bool = True,
-    y_parts: int = 1,
     rows_e: int = 32,
     rows_c: int = 32,
+    own_k=None,  # (lo, hi) plane emission window; None = all planes
     interpret: bool = False,
 ):
-    """Run the fused kernel; returns per-step compacted streams.
+    """Array-level fused-kernel invocation (traceable inside shard_map).
 
     Steps are (z-plane, y-part) pairs in row-major order. Returns
     (vx_pos, vx_lin, vy_pos, vy_lin, vz_pos, vz_lin, c_lin, c_case)
@@ -450,22 +456,21 @@ def marching_cubes_fused(
     (lanes 0..3 = x/y/z edge and cube counts per step). Per-step
     capacities are rows * nx elements; counts are exact regardless, so
     callers re-run with more rows on overflow."""
-    nz, ny, nx = state.sdf.shape
+    nz, ny, nx = sdf.shape
     h = y_parts
     ny2 = ny2_ = ny // h
     assert ny2 * h == ny, (ny, h)
-    u8 = (state.update_num >= 1).astype(jnp.int8)
+    u8 = un8
     e_rows = -(-(ny2 + 2) // 8) * 8
     cy_rows = ny + e_rows - ny2  # one pad row below + tail pad above
-    cx = jnp.asarray(grid.axis_centers(0)).reshape(1, nx)
-    cy = jnp.pad(
-        jnp.asarray(grid.axis_centers(1)), (1, cy_rows - ny - 1)
-    ).reshape(cy_rows, 1)
-    cz = jnp.asarray(grid.axis_centers(2)).reshape(1, nz)
+    cx = cx.reshape(1, nx)
+    cy = jnp.pad(cy, (1, cy_rows - ny - 1)).reshape(cy_rows, 1)
+    cz = cz.reshape(1, nz)
+    with_zbase = zb is not None
 
     kernel = _mc_fused_kernel(
         nz, ny, nx, h, float(iso_level), bool(linear_interp),
-        rows_e, rows_c,
+        rows_e, rows_c, own_k=own_k, with_zbase=with_zbase,
     )
     zp1 = lambda k, p: jnp.minimum(k + 1, nz - 1)  # noqa: E731
     nb8 = max(ny // 8, 1)  # 8-row halo blocks (ny2 % 8 == 0 when h > 1)
@@ -521,6 +526,16 @@ def marching_cubes_fused(
                 )
             ]
             + (
+                [
+                    pl.BlockSpec(
+                        (1, 1), lambda k, p: (0, 0),
+                        memory_space=pltpu.SMEM,
+                    )
+                ]
+                if with_zbase
+                else []
+            )
+            + (
                 [main0, main1, main1]
                 if h == 1
                 else [
@@ -564,15 +579,56 @@ def marching_cubes_fused(
     )(
         cz,
         *(
-            (state.sdf, state.sdf, u8)
+            (jnp.asarray(zb, jnp.int32).reshape(1, 1),)
+            if with_zbase
+            else ()
+        ),
+        *(
+            (sdf, sdf, u8)
             if h == 1
-            else (
-                state.sdf, state.sdf, state.sdf,
-                state.sdf, state.sdf, state.sdf,
-                u8, u8, u8,
-            )
+            else (sdf, sdf, sdf, sdf, sdf, sdf, u8, u8, u8)
         ),
         cx, cy,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid",
+        "iso_level",
+        "linear_interp",
+        "y_parts",
+        "rows_e",
+        "rows_c",
+        "interpret",
+    ),
+)
+def marching_cubes_fused(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    y_parts: int = 1,
+    rows_e: int = 32,
+    rows_c: int = 32,
+    interpret: bool = False,
+):
+    """Run the fused kernel over a full grid (see mc_fused_call)."""
+    nz, ny, nx = state.sdf.shape
+    return mc_fused_call(
+        state.sdf,
+        (state.update_num >= 1).astype(jnp.int8),
+        jnp.asarray(grid.axis_centers(0)),
+        jnp.asarray(grid.axis_centers(1)),
+        jnp.asarray(grid.axis_centers(2)),
+        None,
+        y_parts=y_parts,
+        iso_level=iso_level,
+        linear_interp=linear_interp,
+        rows_e=rows_e,
+        rows_c=rows_c,
+        interpret=interpret,
     )
 
 
@@ -714,6 +770,15 @@ def extract_mesh_fused(
     else:
         raise RuntimeError("fused MC capacity loop failed to converge")
 
+    return finish_fused_extract(outs, counts, ny, nx, grid)
+
+
+def finish_fused_extract(outs, counts, ny: int, nx: int,
+                         grid: GridSpec) -> Mesh:
+    """Pack the kernel's per-step streams, transfer once, and assemble
+    the mesh on host (shared by the plain and sharded fused drivers;
+    the sharded driver's outs are stacked over shards in ascending z,
+    which is already global step order)."""
     centers = [np.asarray(grid.axis_centers(a)) for a in range(3)]
     tots = [int(counts[:, a].sum()) for a in range(4)]
     caps = tuple(_bucket_cap(t) for t in tots)

@@ -8,7 +8,9 @@ from .mesh_utils import (
 from .sharded import (
     carve_views_sharded,
     carve_views_warp_sharded,
+    extract_mesh_fused_sharded,
     extract_mesh_sharded,
     initialize_distributed,
+    marching_cubes_fused_sharded,
     marching_cubes_sharded,
 )

@@ -226,6 +226,144 @@ def marching_cubes_sharded(
     return fn(state.sdf, state.update_num, cz_full)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "iso_level", "linear_interp", "y_parts",
+        "rows_e", "rows_c", "mesh", "interpret",
+    ),
+)
+def marching_cubes_fused_sharded(
+    state: VoxelGridState,
+    grid: GridSpec,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    y_parts: int = 1,
+    rows_e: int = 32,
+    rows_c: int = 32,
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+):
+    """Sharded marching cubes through the FUSED Pallas kernel.
+
+    Same halo exchange as marching_cubes_sharded, but each shard runs
+    ops/mc_fused.mc_fused_call on its halo-extended block: the kernel's
+    plane-emission window (own_k) silences the two halo planes and its
+    z base offsets linear ids to global, so the stacked per-step streams
+    across shards are already in global (z, y, x) order and the plain
+    fused assembly (finish_fused_extract) applies unchanged -- the mesh
+    is byte-identical to the single-device fused/dense extraction.
+    """
+    from ..ops.mc_fused import mc_fused_call
+
+    assert mesh is not None
+    n = mesh.shape[AXIS]
+    nz, ny, nx = state.sdf.shape
+    lz = nz // n
+
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+    cz_full = jnp.asarray(grid.axis_centers(2))
+
+    def local_fn(sdf, un, cz, cx_, cy_):
+        k = jax.lax.axis_index(AXIS)
+        sdf_next = _ppermute_fwd(sdf[:1], n)
+        un_next = _ppermute_fwd(un[:1], n)
+        sdf_prev = _ppermute_bwd(sdf[-1:], n)
+        un_prev = _ppermute_bwd(un[-1:], n)
+        cz_next = _ppermute_fwd(cz[:1], n)
+        cz_prev = _ppermute_bwd(cz[-1:], n)
+        invalid = jnp.full_like(sdf_next, INVALID_SDF)
+        sdf_next = jnp.where(k == n - 1, invalid, sdf_next)
+        un_next = jnp.where(k == n - 1, 0, un_next)
+        sdf_prev = jnp.where(k == 0, invalid, sdf_prev)
+        un_prev = jnp.where(k == 0, 0, un_prev)
+        cz_next = jnp.where(k == n - 1, cz[-1] + 1.0, cz_next)
+        cz_prev = jnp.where(k == 0, cz[0] - 1.0, cz_prev)
+
+        sdf_ext = jnp.concatenate([sdf_prev, sdf, sdf_next], axis=0)
+        un_ext = jnp.concatenate([un_prev, un, un_next], axis=0)
+        cz_ext = jnp.concatenate([cz_prev, cz, cz_next], axis=0)
+
+        return mc_fused_call(
+            sdf_ext,
+            (un_ext >= 1).astype(jnp.int8),
+            cx_, cy_, cz_ext,
+            k * lz - 1,  # global z of local plane 0 (the -z halo)
+            y_parts=y_parts,
+            iso_level=float(iso_level),
+            linear_interp=bool(linear_interp),
+            rows_e=rows_e,
+            rows_c=rows_c,
+            own_k=(1, lz + 1),  # halo planes emit nothing
+            interpret=interpret,
+        )
+
+    vec3 = P(AXIS, None, None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(vec3, vec3, P(AXIS), P(), P()),
+        out_specs=(vec3,) * 9,
+        check_vma=False,  # Pallas calls carry no varying-mesh-axes info
+    )
+    return fn(state.sdf, state.update_num, cz_full, cx, cy)
+
+
+def extract_mesh_fused_sharded(
+    state: VoxelGridState,
+    grid: GridSpec,
+    mesh: Mesh,
+    iso_level: float = 0.0,
+    linear_interp: bool = True,
+    rows_hint: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> TriMesh:
+    """Sharded fused-kernel MC -> the dense driver's exact mesh.
+
+    Single-process only (the streams gather through one host); the
+    multi-process path keeps the XLA slab core with per-shard piece
+    files (extract_mesh_sharded)."""
+    from ..ops.mc_fused import finish_fused_extract, pick_y_parts
+
+    if jax.process_count() > 1:
+        raise ValueError(
+            "extract_mesh_fused_sharded is single-process; use "
+            "extract_mesh_sharded(piece_dir=...) across processes"
+        )
+    nz, ny, nx = state.sdf.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h = pick_y_parts(ny, nx)
+    if h is None:
+        raise ValueError(
+            f"grid plane {ny}x{nx} cannot be y-partitioned for the "
+            "fused kernel; use extract_mesh_sharded"
+        )
+    ny2 = ny // h
+    rows_e = rows_c = min(ny2 + 2, rows_hint or max(4, ny2 // 8))
+    for _ in range(8):
+        outs = marching_cubes_fused_sharded(
+            state, grid,
+            iso_level=float(iso_level),
+            linear_interp=bool(linear_interp),
+            y_parts=h, rows_e=rows_e, rows_c=rows_c,
+            mesh=mesh, interpret=bool(interpret),
+        )
+        counts = np.asarray(outs[8]).reshape(-1, 8)
+        need_e = int(counts[:, :3].max(initial=0))
+        need_c = int(counts[:, 3].max(initial=0))
+        if need_e <= rows_e * nx and need_c <= rows_c * nx:
+            break
+        rows_e = min(ny2 + 2, max(rows_e * 2, -(-need_e // nx)))
+        rows_c = min(ny2 + 2, max(rows_c * 2, -(-need_c // nx)))
+    else:
+        raise RuntimeError(
+            "sharded fused MC capacity loop failed to converge"
+        )
+    return finish_fused_extract(outs, counts, ny, nx, grid)
+
+
 def _local_blocks(arr: jax.Array, block_len: int) -> dict:
     """Map global shard index k -> this process's block of a stacked
     per-shard output (shape [n * block_len] or [n, ...] on axis 0)."""
@@ -244,8 +382,14 @@ def extract_mesh_sharded(
     linear_interp: bool = True,
     capacity_hint: Optional[int] = None,
     piece_dir: Optional[str] = None,
+    engine: str = "auto",
 ) -> Optional[TriMesh]:
     """Host wrapper: sharded MC -> the dense driver's exact mesh.
+
+    engine="auto" runs the FUSED Pallas kernel per shard on a TPU
+    backend in a single process (extract_mesh_fused_sharded); "xla"
+    forces the slab-emission core. Multi-process always uses the XLA
+    core with per-shard piece files.
 
     Single process: gathers every shard directly. Multi-process
     (``jax.process_count() > 1``): each process writes ONLY its
@@ -257,6 +401,21 @@ def extract_mesh_sharded(
     n = mesh.shape[AXIS]
     nz, ny, nx = state.sdf.shape
     multiproc = jax.process_count() > 1
+    if engine not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine != "xla" and not multiproc:
+        from ..ops.mc_fused import pick_y_parts
+
+        use_fused = engine == "fused" or (
+            jax.default_backend() == "tpu"
+            and min(nz, ny, nx) >= 2
+            and pick_y_parts(ny, nx) is not None
+        )
+        if use_fused:
+            return extract_mesh_fused_sharded(
+                state, grid, mesh,
+                iso_level=iso_level, linear_interp=linear_interp,
+            )
     if capacity_hint is None:
         capacity_hint = max(1 << 12, int(8 * ny * nx))
     vcap = int(capacity_hint)
