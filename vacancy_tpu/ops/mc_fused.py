@@ -32,14 +32,16 @@ pipelines the loads), entirely on the VPU:
 **Wide grids (y partitioning).** VMEM holds ~25 live planes, so full
 1024^2 planes (4 MB) blow the budget. The grid is therefore
 (nz, y_parts): each step works on an *extended* sub-plane of
-ny/y_parts + 2 rows -- its slice plus one halo row below and above,
-fetched as separate one-row blocks whose index maps clamp at the grid
-boundary and are overwritten with the InvalidSdf sentinel there, so the
-boundary semantics are identical to the dense formulation (an
+ny/y_parts + 2 rows -- its slice plus one halo row below and above
+(fetched as 8-row blocks with static in-block offsets; the rows at the
+grid boundary are overwritten with the InvalidSdf sentinel, so the
+boundary semantics are identical to the dense formulation: an
 out-of-grid neighbor is exactly an invalid voxel). Each step emits only
 its owned rows; emission order over (k, p) steps equals global
 (z, y, x) flat order, so assembly is unchanged. y_parts = 1 reduces to
-the plain per-plane kernel (same code path).
+the plain per-plane kernel. The kernel also serves the sharded driver
+(parallel/sharded.py): own_k silences a halo PLANE pair and a z-base
+scalar makes linear ids global.
 
 The triangle table never enters the kernel: an active cube (case not in
 {0, 255}) emits its (owner linear id, case) pair and the host expands

@@ -10,13 +10,15 @@ Replaces the reference's OpenMP z-slice threading (``voxel_carver.cc:
     (``marching_cubes.cc:92-101``), resolved with a single explicit halo
     exchange over `jax.lax.ppermute` (one voxel plane of sdf AND
     update_num from each z neighbor -- cube validity needs both, SURVEY
-    section 7 hard-part 4). Each shard then runs the same slab-emission
-    core as the single-device blocked driver
-    (``ops.marching_cubes._slab_emit``): vertices are keyed by their
-    canonical edge's global owner id and faces reference vertices by
-    global edge key, so the host assembly reproduces the dense mesh
-    EXACTLY -- same vertex order, same face order, watertight seams by
-    construction (tests/test_sharding.py asserts array equality).
+    section 7 hard-part 4). Each shard then extracts its halo-extended
+    block: through the FUSED Pallas kernel (marching_cubes_fused_sharded,
+    the single-process TPU default) or the XLA slab-emission core
+    (``ops.marching_cubes._slab_emit``, the multi-process path with
+    per-shard piece files). Vertices are keyed by their canonical edge's
+    global owner id and faces reference vertices by global edge key, so
+    the host assembly reproduces the dense mesh EXACTLY -- same vertex
+    order, same face order, watertight seams by construction
+    (tests/test_sharding.py asserts array equality for both cores).
 """
 
 from __future__ import annotations
