@@ -64,8 +64,9 @@ def _setup(nz=6, ny=128, nx=128, n_views=3, h=40, w=56, seed=0):
         ),
         VoxelUpdateOption(update_outside=UpdateOutsideImage.MAX),
         VoxelUpdateOption(sdf_interp=SdfInterpolation.NN),
+        VoxelUpdateOption(voxel_max_update_num=1),
     ],
-    ids=["max", "tsdf", "outside-max", "nn"],
+    ids=["max", "tsdf", "outside-max", "nn", "cap-1"],
 )
 def test_fused_equals_twopass(opt):
     grid, state, w2c, pp, fl, imgs = _setup()
