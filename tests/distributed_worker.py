@@ -69,6 +69,26 @@ def main():
                 np.asarray(s1.data), np.asarray(s2.data)
             )
 
+    # --- the production warp engine across processes ---
+    # each process computes the full dense warp result locally and
+    # checks its addressable shards of the global sharded run against it
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+    from vacancy_tpu.parallel import carve_views_warp_sharded
+
+    dense_w = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt
+    )
+    shw = carve_views_warp_sharded(
+        VoxelGridState.create(grid, sharding=sharding), grid,
+        w2c, pp, fl, imgs, opt=opt, mesh=dev_mesh,
+    )
+    dsdf = np.asarray(dense_w.sdf)
+    dun = np.asarray(dense_w.update_num)
+    for s_ in shw.sdf.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s_.data), dsdf[s_.index])
+    for s_ in shw.update_num.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s_.data), dun[s_.index])
+
     # --- sharded MC: per-shard pieces, host-0 assembly ---
     mesh = extract_mesh_sharded(
         state2, grid, dev_mesh, piece_dir=os.path.join(tmpdir, "pieces")
