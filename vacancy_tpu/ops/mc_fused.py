@@ -460,7 +460,7 @@ def mc_fused_call(
     callers re-run with more rows on overflow."""
     nz, ny, nx = sdf.shape
     h = y_parts
-    ny2 = ny2_ = ny // h
+    ny2 = ny // h
     assert ny2 * h == ny, (ny, h)
     u8 = un8
     e_rows = -(-(ny2 + 2) // 8) * 8
@@ -568,7 +568,7 @@ def mc_fused_call(
             jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, h, -(-(ny2_ + 2) // 8) * 8, nx), jnp.int32)
+            pltpu.VMEM((2, h, e_rows, nx), jnp.int32)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
