@@ -1,10 +1,12 @@
 """Headline benchmark: voxel-view fusions/sec/chip (BASELINE.json metric).
 
 Fuses a batch of views into a 512^3 grid (the larger of the BASELINE
-256^3/512^3 configs) with the two-pass projective-warp Pallas engine
-(vacancy_tpu/ops/fusion_warp.py) and reports steady-state throughput as
+256^3/512^3 configs) with the projective-warp engine -- on TPU the
+single-kernel fused path (vacancy_tpu/ops/warp_fused.py: both warp
+passes + update in VMEM) -- and reports steady-state throughput as
 voxel-view fusions per second on one chip. vs_baseline is the ratio
-against the 1e9/s target.
+against the 1e9/s target. The marching-cubes metric runs the fused
+Pallas MC kernel (ops/mc_fused.py) on a 256^3 sphere TSDF.
 
 Prints exactly one JSON line.
 """

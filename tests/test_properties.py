@@ -76,3 +76,39 @@ def test_silhouettes_nonempty_and_binary():
     assert masks.shape == (4, 48, 64)
     assert set(np.unique(masks)).issubset({0, 255})
     assert (masks == 255).any(axis=(1, 2)).all()  # every view sees it
+
+
+def test_carving_monotonicity_warp_engine():
+    """The warp fusion engine preserves kMax monotonicity too: fusing
+    more views never grows the occupied set (the approximation changes
+    sampled values, never the carving direction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+    from vacancy_tpu.ops.sdf2d import make_signed_distance_field
+
+    centers, radii = blob_spheres(seed=0, n_spheres=3)
+    cams = turntable_cameras(6, radius=3.5, width=80, height=60)
+    masks = render_silhouettes(cams, centers, radii)
+    grid = GridSpec(
+        bb_min=(-1.2, -1.2, -1.2), bb_max=(1.25, 1.25, 1.25),
+        resolution=0.15,
+    )
+    imgs = jax.vmap(make_signed_distance_field)(jnp.asarray(masks))
+    w2c = jnp.stack([c.w2c for c in cams])
+    pp = jnp.stack([c.principal_point for c in cams])
+    fl = jnp.stack([c.focal_length for c in cams])
+
+    occ_prev = None
+    state = VoxelGridState.create(grid)
+    for i in range(len(cams)):
+        state = carve_views_warp(
+            state, grid, w2c[i : i + 1], pp[i : i + 1], fl[i : i + 1],
+            imgs[i : i + 1],
+        )
+        occ = np.asarray(occupancy_mask(state))
+        if occ_prev is not None:
+            assert not np.any(occ & ~occ_prev)
+        occ_prev = occ
+    assert occ_prev.sum() > 0
