@@ -161,14 +161,16 @@ def _compact_write(flag, payloads, out_refs, counts_ref, count_lane, rows):
 
     @pl.when(total > 0)
     def _():
-        f = flag
         pays = list(payloads)
         flat = _flat_iota(s, w)
-        incl = _flat_cumsum(f)
-        deficit = flat - (incl - f)
+        incl = _flat_cumsum(flag)
+        # the deficit doubles as the validity flag: unflagged slots hold
+        # 0 (inert), movers zero their vacated slot, and a flagged
+        # element whose deficit reaches 0 sits at its final position
+        deficit = jnp.where(flag > 0, flat - (incl - flag), 0)
         k = 1
         while k < s * w:
-            move = (f > 0) & ((deficit & k) != 0)
+            move = (deficit & k) != 0
             src_move = (_flat_roll_bwd(move.astype(jnp.int32), k) > 0) & (
                 flat + k < s * w
             )
@@ -176,9 +178,10 @@ def _compact_write(flag, payloads, out_refs, counts_ref, count_lane, rows):
                 jnp.where(src_move, _flat_roll_bwd(p, k), p) for p in pays
             ]
             deficit = jnp.where(
-                src_move, _flat_roll_bwd(deficit, k) - k, deficit
+                src_move,
+                _flat_roll_bwd(deficit, k) - k,
+                jnp.where(move, 0, deficit),
             )
-            f = jnp.where(src_move, 1, jnp.where(move, 0, f))
             k *= 2
         for p, ref in zip(pays, out_refs):
             ref[0] = p[:rows]
