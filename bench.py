@@ -84,15 +84,10 @@ def run_bench(n=512, n_views=24, iters=4):
     return grid.num_voxels * n_views / dt, dt
 
 
-def run_mc_bench(n=256, iters=3):
-    """Marching-cubes extraction throughput (the fused Pallas kernel,
-    ops/mc_fused.py) on a realistic closed surface: a sphere TSDF at
-    n^3. Returns (cubes/s over the full lattice, warm seconds, #verts).
-    """
+def _sphere_state(n, radius=0.8):
     import jax.numpy as jnp
 
     from vacancy_tpu.grid import GridSpec, VoxelGridState
-    from vacancy_tpu.ops.marching_cubes import extract_mesh
 
     res = 2.2 / n
     grid = GridSpec(
@@ -105,10 +100,22 @@ def run_mc_bench(n=256, iters=3):
     cy = jnp.asarray(grid.axis_centers(1))
     cz = jnp.asarray(grid.axis_centers(2))
     r2 = (cz**2)[:, None, None] + (cy**2)[None, :, None] + (cx**2)[None]
-    sdf = jnp.clip((jnp.sqrt(r2) - 0.8) / 0.05, -1, 1).astype(jnp.float32)
+    sdf = jnp.clip(
+        (jnp.sqrt(r2) - radius) / 0.05, -1, 1
+    ).astype(jnp.float32)
     state = VoxelGridState(
         sdf=sdf, update_num=jnp.ones((n, n, n), jnp.int32)
     )
+    return grid, state
+
+
+def run_mc_bench(n=256, iters=3, radius=0.8):
+    """Marching-cubes extraction throughput (the fused Pallas kernel,
+    ops/mc_fused.py) on a closed-surface sphere TSDF at n^3. Returns
+    (cubes/s over the full lattice, warm seconds, #verts)."""
+    from vacancy_tpu.ops.marching_cubes import extract_mesh
+
+    grid, state = _sphere_state(n, radius)
     mesh = extract_mesh(state, grid)  # warmup/compile
     best = float("inf")
     for _ in range(iters):
@@ -121,6 +128,10 @@ def run_mc_bench(n=256, iters=3):
 def main():
     rate, _ = run_bench()
     mc_rate, mc_s, mc_verts = run_mc_bench()
+    # the scale story: 512^3 extraction cost tracks surface occupancy
+    # (a realistic sphere vs a tiny one on the same lattice)
+    _, mc512_s, mc512_verts = run_mc_bench(n=512, iters=2)
+    _, mc512e_s, mc512e_verts = run_mc_bench(n=512, iters=2, radius=0.04)
     target = 1e9  # BASELINE: >= 1 Gvoxel-view fusions/s/chip
     print(
         json.dumps(
@@ -132,6 +143,10 @@ def main():
                 "mc_cubes_per_sec_256^3": round(mc_rate, 1),
                 "mc_extract_warm_s_256^3": round(mc_s, 4),
                 "mc_vertices_256^3": int(mc_verts),
+                "mc_extract_warm_s_512^3": round(mc512_s, 4),
+                "mc_vertices_512^3": int(mc512_verts),
+                "mc_extract_warm_s_512^3_near_empty": round(mc512e_s, 4),
+                "mc_vertices_512^3_near_empty": int(mc512e_verts),
             }
         )
     )

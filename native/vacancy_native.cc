@@ -8,6 +8,8 @@
 //
 // Build: make -C native   (-> libvacancy_native.so)
 
+#include <locale.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -131,28 +133,41 @@ int64_t vacancy_weld_vertices(const float* verts, int64_t nv,
   return n_out;
 }
 
-// Parses an ascii PLY body of N "x y z" lines into floats. Used to
-// accelerate large ascii PLY loads. Returns number parsed.
+// Parses an ascii PLY body of N "x y z ..." lines into floats. Used to
+// accelerate large ascii PLY loads. Returns the number of rows parsed;
+// a short return makes the Python caller fall back to numpy. Each
+// line's three floats must lie strictly within that line (strtof skips
+// newlines, so an unchecked parse of a malformed 2-float line would
+// silently consume tokens from the following line); parsing uses the C
+// numeric locale regardless of the process locale.
 int64_t vacancy_parse_float3_lines(const char* buf, int64_t buflen,
                                    int64_t max_rows, float* out) {
+  static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
   const char* p = buf;
   const char* end = buf + buflen;
   int64_t row = 0;
   while (row < max_rows && p < end) {
-    char* next = nullptr;
-    float x = strtof(p, &next);
-    if (next == p) break;
-    p = next;
-    float y = strtof(p, &next);
-    p = next;
-    float z = strtof(p, &next);
-    p = next;
-    out[3 * row + 0] = x;
-    out[3 * row + 1] = y;
-    out[3 * row + 2] = z;
+    const char* line_end =
+        (const char*)memchr(p, '\n', size_t(end - p));
+    if (!line_end) line_end = end;
+    const char* q = p;
+    float v[3];
+    bool ok = true;
+    for (int c = 0; c < 3; c++) {
+      char* next = nullptr;
+      v[c] = c_loc ? strtof_l(q, &next, c_loc) : strtof(q, &next);
+      if (next == q || next > line_end) {
+        ok = false;
+        break;
+      }
+      q = next;
+    }
+    if (!ok) break;
+    out[3 * row + 0] = v[0];
+    out[3 * row + 1] = v[1];
+    out[3 * row + 2] = v[2];
     row++;
-    while (p < end && *p != '\n') p++;
-    if (p < end) p++;
+    p = line_end < end ? line_end + 1 : end;
   }
   return row;
 }

@@ -102,6 +102,22 @@ def main():
         )
     else:
         assert mesh is None
+
+    # --- sharded MC through the FUSED Pallas kernel across processes:
+    # per-process trimmed stream pieces, host-0 fused assembly ---
+    mesh_f = extract_mesh_sharded(
+        state2, grid, dev_mesh, engine="fused",
+        piece_dir=os.path.join(tmpdir, "pieces_fused"),
+    )
+    if pid == 0:
+        assert mesh_f is not None
+        np.savez(
+            os.path.join(tmpdir, "result_fused.npz"),
+            vertices=mesh_f.vertices,
+            faces=mesh_f.faces,
+        )
+    else:
+        assert mesh_f is None
     print(f"proc {pid}: OK", flush=True)
 
 

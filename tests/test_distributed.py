@@ -79,3 +79,8 @@ def test_two_process_distributed(tmp_path):
     with np.load(tmp_path / "result.npz") as z:
         np.testing.assert_array_equal(z["vertices"], dense.vertices)
         np.testing.assert_array_equal(z["faces"], dense.faces)
+
+    # the fused Pallas MC's multi-process piece path emits the same mesh
+    with np.load(tmp_path / "result_fused.npz") as z:
+        np.testing.assert_array_equal(z["vertices"], dense.vertices)
+        np.testing.assert_array_equal(z["faces"], dense.faces)

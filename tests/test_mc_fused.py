@@ -125,94 +125,124 @@ def test_fused_y_split_equals_dense(monkeypatch, linear_interp):
 def test_pick_y_parts():
     from vacancy_tpu.ops.mc_fused import pick_y_parts
 
-    assert pick_y_parts(256, 256) == 1
-    assert pick_y_parts(512, 512) == 1
-    assert pick_y_parts(1024, 1024) == 4
-    assert pick_y_parts(2048, 2048) == 16
+    # the compile-size budget (not just VMEM) drives the split: small
+    # extended planes keep the unrolled ladder's Mosaic compile fast
+    assert pick_y_parts(128, 128) == 1
+    assert pick_y_parts(256, 256) == 4
+    assert pick_y_parts(512, 512) == 16
+    assert pick_y_parts(1024, 1024) == 64
+    assert pick_y_parts(2048, 2048) == 64
+    # bunny-class unaligned grids stay unsplit
+    assert pick_y_parts(53, 54) == 1
     # un-partitionable: odd ny at a size that needs splitting
     assert pick_y_parts(1023, 1024) is None
 
 
 def test_flat_compaction_building_blocks():
-    """The in-VMEM primitives against numpy: flat cumsum and LSB-first
-    binary-shift compaction over random planes (interpret mode executes
-    the identical jnp ops the TPU runs)."""
-    from functools import partial
-
+    """The in-VMEM primitives against numpy: region-flat cumsum and the
+    SHARED four-stream LSB-first binary-shift compaction over random
+    planes (interpret mode executes the identical jnp ops the TPU
+    runs)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from vacancy_tpu.ops.mc_fused import _compact_write, _flat_cumsum
+    from vacancy_tpu.ops.mc_fused import (
+        _compact_write_multi,
+        _region_cumsum,
+    )
 
     rng = np.random.default_rng(3)
     s, w = 24, 40
+    m = 4  # streams
 
     def cumsum_kernel(x_ref, o_ref):
-        o_ref[:] = _flat_cumsum(x_ref[:])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m * s, w), 1)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (m * s, w), 0)
+        rflat = (lrow % s) * w + lane
+        del rflat  # regions are encoded in the size argument
+        o_ref[:] = _region_cumsum(x_ref[:], s * w)
 
-    x = rng.integers(0, 3, size=(s, w)).astype(np.int32)
+    x = rng.integers(0, 3, size=(m * s, w)).astype(np.int32)
     out = pl.pallas_call(
         cumsum_kernel,
-        out_shape=jax.ShapeDtypeStruct((s, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m * s, w), jnp.int32),
         interpret=True,
     )(jnp.asarray(x))
-    np.testing.assert_array_equal(
-        np.asarray(out).reshape(-1), np.cumsum(x.reshape(-1))
-    )
-
-    def compact_kernel(f_ref, p1_ref, p2_ref, o1_ref, o2_ref, c_ref):
-        # adapters: _compact_write expects refs indexed as ref[0] = rows
-        # and a (1, 1, 8) SMEM counts ref; the flat test refs differ
-        _compact_write(
-            f_ref[:] > 0,
-            (p1_ref[:], p2_ref[:]),
-            (_Wrap(o1_ref), _Wrap(o2_ref)),
-            _Wrap3(c_ref),
-            0,
-            s,
+    # each region's cumsum is independent of its neighbors
+    for i in range(m):
+        np.testing.assert_array_equal(
+            np.asarray(out)[i * s : (i + 1) * s].reshape(-1),
+            np.cumsum(x[i * s : (i + 1) * s].reshape(-1)),
         )
 
     class _Wrap:
-        """Adapter: _compact_write writes ref[0] = plane[:rows]."""
+        """Adapter: write_fns store ref[0] = rows; counts land in a
+        (1, 1, 8)-style SMEM ref indexed [0, 0, lane]."""
 
         def __init__(self, ref):
             self.ref = ref
 
         def __setitem__(self, idx, val):
-            assert idx == 0
-            self.ref[:] = val
+            if isinstance(idx, tuple):
+                self.ref[idx[2]] = val
+            else:
+                assert idx == 0
+                self.ref[:] = val
 
-    class _Wrap3:
-        def __init__(self, ref):
-            self.ref = ref
+    def compact_kernel(f_ref, pa_ref, pb_ref, *out_refs):
+        oa = [_Wrap(out_refs[i]) for i in range(m)]
+        ob = [_Wrap(out_refs[m + i]) for i in range(m)]
+        c_ref = _Wrap(out_refs[2 * m])
 
-        def __setitem__(self, idx, val):
-            self.ref[idx[2]] = val
+        def wfn(i):
+            def fn(a, b):
+                oa[i][0] = a
+                ob[i][0] = b
 
-    for density in (0.0, 0.02, 0.5, 1.0):
-        flags = (rng.random((s, w)) < density).astype(np.int32)
-        pay1 = rng.normal(size=(s, w)).astype(np.float32)
-        pay2 = rng.integers(0, 10**6, size=(s, w)).astype(np.int32)
-        o1, o2, cnt = pl.pallas_call(
-            compact_kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((s, w), jnp.float32),
-                jax.ShapeDtypeStruct((s, w), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-            ),
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-            interpret=True,
-        )(jnp.asarray(flags), jnp.asarray(pay1), jnp.asarray(pay2))
-        n = int(cnt[0])
-        assert n == flags.sum()
-        sel = flags.reshape(-1) > 0
+            return fn
+
+        _compact_write_multi(
+            tuple(f_ref[i * s : (i + 1) * s] > 0 for i in range(m)),
+            tuple(pa_ref[i * s : (i + 1) * s] for i in range(m)),
+            tuple(pb_ref[i * s : (i + 1) * s] for i in range(m)),
+            tuple(wfn(i) for i in range(m)),
+            c_ref,
+            (s,) * m,
+        )
+
+    densities = (0.0, 0.02, 0.5, 1.0)
+    flags = np.concatenate(
+        [
+            (rng.random((s, w)) < d).astype(np.int32)
+            for d in densities
+        ]
+    )
+    pa = rng.normal(size=(m * s, w)).astype(np.float32)
+    pb = rng.integers(0, 10**6, size=(m * s, w)).astype(np.int32)
+    outs = pl.pallas_call(
+        compact_kernel,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((s, w), jnp.float32)] * m
+            + [jax.ShapeDtypeStruct((s, w), jnp.int32)] * m
+            + [jax.ShapeDtypeStruct((8,), jnp.int32)]
+        ),
+        out_specs=tuple(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * m)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ),
+        interpret=True,
+    )(jnp.asarray(flags), jnp.asarray(pa), jnp.asarray(pb))
+    cnt = np.asarray(outs[2 * m])
+    for i in range(m):
+        fi = flags[i * s : (i + 1) * s].reshape(-1)
+        n = int(cnt[i])
+        assert n == fi.sum()
+        sel = fi > 0
         np.testing.assert_array_equal(
-            np.asarray(o1).reshape(-1)[:n], pay1.reshape(-1)[sel]
+            np.asarray(outs[i]).reshape(-1)[:n],
+            pa[i * s : (i + 1) * s].reshape(-1)[sel],
         )
         np.testing.assert_array_equal(
-            np.asarray(o2).reshape(-1)[:n], pay2.reshape(-1)[sel]
+            np.asarray(outs[m + i]).reshape(-1)[:n],
+            pb[i * s : (i + 1) * s].reshape(-1)[sel],
         )

@@ -64,3 +64,22 @@ def test_native_parse_float3_matches_loadtxt():
     np.testing.assert_array_equal(out, ref)
     # short buffer -> None (caller falls back)
     assert native_parse_float3(buf, len(rows) + 1) is None
+
+
+def test_native_parse_float3_rejects_malformed_rows():
+    """A vertex line with fewer than 3 floats must return short (None at
+    the Python boundary) instead of silently consuming tokens from the
+    following line -- strtof skips newlines."""
+    from vacancy_tpu.io.native import available, native_parse_float3
+
+    if not available():
+        pytest.skip("native library not built")
+    buf = b"1.0 2.0 3.0\n4.0 5.0\n6.0 7.0 8.0\n"
+    assert native_parse_float3(buf, 3) is None
+    # extra per-line columns (e.g. vertex colors) remain fine
+    buf2 = b"1 2 3 255 0 0\n4 5 6 0 255 0\n"
+    out = native_parse_float3(buf2, 2)
+    assert out is not None
+    np.testing.assert_array_equal(
+        out, np.array([[1, 2, 3], [4, 5, 6]], np.float32)
+    )

@@ -47,9 +47,19 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+# Hausdorff bounds, measured (CPU backend): carve 7.5 mm worst vertex;
+# tsdf 20.9 mm. The tsdf gap is NOT a single outlier: ~0.7% of vertices
+# (100 of 14250) sit >1 voxel from the golden mesh, concentrated where
+# view rays graze the silhouette boundary. Mechanism: under max-carving
+# a one-row u_eq perturbation (the warp approximation) only matters for
+# the view that attains the max, but the TSDF running mean folds EVERY
+# view's sampled distance in, so a perturbed truncated sample shifts the
+# averaged sdf by O(1/n_views) -- cubes whose average sits near the zero
+# crossing then slide their interpolated vertex by up to ~2 voxels.
+# Chamfer stays at 0.45 mm (0.045 voxel): the population is tiny.
 @pytest.mark.parametrize(
     "tag,tsdf,chamfer_mm,hausdorff_mm",
-    [("carve", False, 1.0, 12.0), ("tsdf", True, 1.0, 25.0)],
+    [("carve", False, 1.0, 8.5), ("tsdf", True, 1.0, 22.0)],
 )
 def test_warp_mesh_matches_reference_golden(
     tag, tsdf, chamfer_mm, hausdorff_mm

@@ -127,3 +127,55 @@ def test_fused_equals_twopass_shapes(shape):
     np.testing.assert_array_equal(
         np.asarray(a.update_num), np.asarray(b.update_num)
     )
+
+
+@pytest.mark.parametrize("x_part", [128, 256], ids=["4-parts", "2-parts"])
+def test_fused_x_partitioned_equals_full_plane(x_part):
+    """The x-partitioned kernel (wide-plane path, grid=(nz, n_xp)) is
+    bit-identical to both the unpartitioned kernel and the two-pass
+    engine -- the warp is exactly separable in x."""
+    grid, state, w2c, pp, fl, imgs = _setup(nz=4, ny=128, nx=512,
+                                            n_views=2)
+    opt = VoxelUpdateOption()
+    interp = jax.default_backend() != "tpu"
+    ref = carve_views_warp(state, grid, w2c, pp, fl, imgs, opt=opt)
+    full = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        x_part=512,
+    )
+    part = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        x_part=x_part,
+    )
+    for a, b in [(ref, part), (full, part)]:
+        np.testing.assert_array_equal(
+            np.asarray(a.sdf), np.asarray(b.sdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.update_num), np.asarray(b.update_num)
+        )
+
+
+def test_fused_fast_divide_close_to_precise():
+    """precise=False (one shared reciprocal for u*/v*) may differ from
+    the precise kernel only through last-ulp motion of the projected
+    coordinate; the fused SDF must stay within interpolation-slope
+    tolerance and update counts nearly everywhere equal."""
+    grid, state, w2c, pp, fl, imgs = _setup(nz=6, ny=128, nx=128,
+                                            n_views=3)
+    opt = VoxelUpdateOption()
+    interp = jax.default_backend() != "tpu"
+    a = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        precise=True,
+    )
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        precise=False,
+    )
+    sa, sb = np.asarray(a.sdf), np.asarray(b.sdf)
+    np.testing.assert_allclose(sa, sb, atol=1e-4, rtol=1e-4)
+    # a boundary-straddling ulp can flip an update decision on isolated
+    # voxels; it must stay rare
+    frac = np.mean(np.asarray(a.update_num) != np.asarray(b.update_num))
+    assert frac < 1e-3, frac

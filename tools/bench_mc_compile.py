@@ -1,0 +1,98 @@
+"""Ad-hoc TPU measurement: fused-MC cold compile + warm time, and
+byte-identity vs the XLA dense driver on-chip. Not a test."""
+
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from vacancy_tpu.grid import GridSpec, VoxelGridState  # noqa: E402
+from vacancy_tpu.ops.mc_fused import extract_mesh_fused  # noqa: E402
+from vacancy_tpu.ops.marching_cubes import extract_mesh  # noqa: E402
+
+
+def sphere_case(nz, n):
+    res = 2.2 / n
+    grid = GridSpec(
+        bb_min=(-1.1, -1.1, -1.1),
+        bb_max=(
+            -1.1 + (n + 0.4) * res,
+            -1.1 + (n + 0.4) * res,
+            -1.1 + (nz + 0.4) * res,
+        ),
+        resolution=res,
+    )
+    assert grid.shape_zyx == (nz, n, n), grid.shape_zyx
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+    cz = jnp.asarray(grid.axis_centers(2))
+    r2 = (cz**2)[:, None, None] + (cy**2)[None, :, None] + (cx**2)[None]
+    sdf = jnp.clip((jnp.sqrt(r2) - 0.8) / 0.05, -1, 1).astype(jnp.float32)
+    state = VoxelGridState(
+        sdf=sdf, update_num=jnp.ones((nz, n, n), jnp.int32)
+    )
+    return grid, state
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "small"
+
+    if which == "small":
+        # byte identity on-chip at 128^3
+        grid, state = sphere_case(128, 128)
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"128^3 cold: {time.perf_counter()-t0:.1f}s "
+              f"verts={m.num_vertices}")
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"128^3 warm: {time.perf_counter()-t0:.3f}s")
+        d = extract_mesh(state, grid, engine="xla")
+        np.testing.assert_array_equal(m.vertices, d.vertices)
+        np.testing.assert_array_equal(m.faces, d.faces)
+        print("byte-identical to XLA driver: True")
+
+    if which == "256":
+        grid, state = sphere_case(256, 256)
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"256^3 cold: {time.perf_counter()-t0:.1f}s "
+              f"verts={m.num_vertices}")
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m = extract_mesh_fused(state, grid)
+            best = min(best, time.perf_counter() - t0)
+        print(f"256^3 warm best: {best:.3f}s")
+
+    if which == "wide":
+        # same Mosaic program class as 1024^3 (y_parts=16) but small z:
+        # compile cost is program-shape-, not nz-, dependent
+        grid, state = sphere_case(64, 1024)
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"64x1024^2 cold: {time.perf_counter()-t0:.1f}s "
+              f"verts={m.num_vertices}")
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"64x1024^2 warm: {time.perf_counter()-t0:.3f}s")
+
+    if which == "1024":
+        grid, state = sphere_case(1024, 1024)
+        t0 = time.perf_counter()
+        m = extract_mesh_fused(state, grid)
+        print(f"1024^3 cold: {time.perf_counter()-t0:.1f}s "
+              f"verts={m.num_vertices}")
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            m = extract_mesh_fused(state, grid)
+            best = min(best, time.perf_counter() - t0)
+        print(f"1024^3 warm best: {best:.3f}s")
+
+
+if __name__ == "__main__":
+    main()

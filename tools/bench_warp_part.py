@@ -1,0 +1,125 @@
+"""Ad-hoc TPU measurement: x-partitioned fused warp kernel at wide
+planes vs the two-pass scan, and precise vs fast divide. Not a test."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import build_case  # noqa: E402
+
+from vacancy_tpu.config import VoxelUpdateOption  # noqa: E402
+from vacancy_tpu.ops.fusion_warp import carve_views_warp  # noqa: E402
+from vacancy_tpu.ops.warp_fused import (  # noqa: E402
+    carve_views_warp_fused,
+)
+
+
+def build_wide(nz, n, n_views):
+    from vacancy_tpu.grid import GridSpec, VoxelGridState
+    from vacancy_tpu.camera import PinholeCamera
+    from vacancy_tpu.synthetic import look_at
+
+    res = 2.0 / n
+    grid = GridSpec(
+        bb_min=(-1.0, -1.0, -1.0),
+        bb_max=(
+            -1.0 + (n + 0.3) * res,
+            -1.0 + (n + 0.3) * res,
+            -1.0 + (nz + 0.3) * res,
+        ),
+        resolution=res,
+    )
+    assert grid.shape_zyx == (nz, n, n), grid.shape_zyx
+    rng = np.random.default_rng(0)
+    h, w = 240, 320
+    cams = [
+        PinholeCamera.create(
+            w, h,
+            c2w=look_at(
+                [3.5 * np.sin(2 * np.pi * i / n_views), 0.5,
+                 -3.5 * np.cos(2 * np.pi * i / n_views)],
+                np.zeros(3),
+            ),
+            principal_point=np.array([159.5, 119.5], np.float32),
+            focal_length=np.array([260.0, 260.0], np.float32),
+        )
+        for i in range(n_views)
+    ]
+    w2c = jnp.stack([c.w2c for c in cams])
+    pp = jnp.stack([c.principal_point for c in cams])
+    fl = jnp.stack([c.focal_length for c in cams])
+    imgs = jnp.asarray(rng.normal(size=(n_views, h, w)).astype(np.float32))
+    state = VoxelGridState.create(grid)
+    return grid, state, w2c, pp, fl, imgs
+
+
+def timeit(fn, state, iters=3):
+    st = fn(state)
+    float(jnp.sum(st.sdf))  # warm + sync
+    t0 = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur = fn(cur)
+    float(jnp.sum(cur.sdf))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    opt = VoxelUpdateOption()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    if which in ("all", "wide"):
+        nz, n, v = 128, 1024, 24
+        grid, state, w2c, pp, fl, imgs = build_wide(nz, n, v)
+        fus = nz * n * n * v
+
+        for label, fn in [
+            ("fused x-part precise", lambda s: carve_views_warp_fused(
+                s, grid, w2c, pp, fl, imgs, opt=opt)),
+            ("fused x-part fast", lambda s: carve_views_warp_fused(
+                s, grid, w2c, pp, fl, imgs, opt=opt, precise=False)),
+        ]:
+            dt = timeit(fn, state)
+            print(f"1024^2 x {nz}z x {v}v {label}: {dt*1e3:.1f} ms "
+                  f"= {fus/dt/1e9:.2f} Gfus/s")
+
+    if which in ("all", "512"):
+        grid, state, w2c, pp, fl, imgs = build_case(512, 24)
+        fus = 512**3 * 24
+        for label, kw in [("precise", {}), ("fast", {"precise": False})]:
+            dt = timeit(
+                lambda s, kw=kw: carve_views_warp_fused(
+                    s, grid, w2c, pp, fl, imgs, opt=opt, **kw),
+                state,
+            )
+            print(f"512^3 x 24v fused {label}: {dt*1e3:.1f} ms "
+                  f"= {fus/dt/1e9:.2f} Gfus/s")
+
+    if which == "scan":
+        nz, n, v = 128, 1024, 24
+        grid, state, w2c, pp, fl, imgs = build_wide(nz, n, v)
+        fus = nz * n * n * v
+        # force the two-pass path for an apples-to-apples wide-plane
+        # number (dispatch would now choose the fused kernel)
+        import vacancy_tpu.ops.fusion_warp as fw
+
+        orig = fw._use_fused_kernel
+        fw._use_fused_kernel = lambda *a, **k: False
+        try:
+            dt = timeit(
+                lambda s: carve_views_warp(
+                    s, grid, w2c, pp, fl, imgs, opt=opt),
+                state,
+            )
+        finally:
+            fw._use_fused_kernel = orig
+        print(f"1024^2 x {nz}z x {v}v two-pass scan: {dt*1e3:.1f} ms "
+              f"= {fus/dt/1e9:.2f} Gfus/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,9 @@ def _load():
                     ctypes.POINTER(ctypes.c_float),
                 ]
                 _LIB = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError: a stale .so built before a newer symbol
+                # existed -- degrade to the numpy paths rather than crash
                 _LIB = None
             break
     return _LIB

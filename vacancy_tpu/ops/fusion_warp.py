@@ -122,24 +122,23 @@ def _use_fused_kernel(
     ny: int, nx: int, sdf_images: Optional[jax.Array] = None
 ) -> bool:
     """The single-kernel engine (ops/warp_fused.py) needs a TPU backend,
-    lane-aligned plane dims, and a VMEM-sized working set; 2.4x the
-    two-pass engine when it applies, bit-identical output.
+    lane-aligned plane dims, and an x-partitionable working plane;
+    2.4x the two-pass engine when it applies, bit-identical output.
+    Wide planes (1024^2+) run x-partitioned -- the kernel splits each
+    plane into VMEM-sized (ny, nxp) slices with zero redundant work, so
+    there is no plane-size cap anymore. The resident image stack is
+    capped at 64 MB of VMEM (the stack stays resident across all grid
+    steps); larger view batches fall back to the two-pass scan."""
+    if jax.default_backend() != "tpu":
+        return False
+    from .warp_fused import _pick_x_part
 
-    1024^2 planes are excluded: they compile and run but VMEM pressure
-    makes the kernel ~2.5x SLOWER than the unrolled scan (measured on
-    the 1024^3 x 100-view sweep), so the dispatch caps plane bytes at
-    512^2 and the resident image stack at 32 MB."""
-    if not (
-        jax.default_backend() == "tpu"
-        and nx % 128 == 0
-        and ny % 128 == 0
-        and ny * nx * 4 <= (1 << 20)
-    ):
+    if _pick_x_part(ny, nx) is None:
         return False
     if sdf_images is not None:
         v, h, w = sdf_images.shape
         wpad = -(-w // 128) * 128
-        if v * h * wpad * 4 > 32 * (1 << 20):
+        if v * h * wpad * 4 > 64 * (1 << 20):
             return False
     return True
 
@@ -301,11 +300,10 @@ def carve_views_warp_blocked(
             opt, linear,
         )
     # exact tiling only: a clamped/overlapping final chunk would re-fuse
-    # voxels and double-count update_num
+    # voxels and double-count update_num -- so snap to the largest
+    # divisor of nz at most chunk_nz (always exists: 1)
     if nz % chunk_nz != 0:
-        raise ValueError(
-            f"chunk_nz {chunk_nz} must divide the grid z extent {nz}"
-        )
+        chunk_nz = max(d for d in range(1, chunk_nz + 1) if nz % d == 0)
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
     sdf, un = state.sdf, state.update_num
     for k in range(nz // chunk_nz):

@@ -84,21 +84,39 @@ _INVALID = float(INVALID_SDF)
 # one f32 working sub-plane may use at most this many bytes (the kernel
 # holds ~25 of them live; 512^2 fits comfortably on this chip)
 _MAX_PART_BYTES = 1 << 20
+# compile-size budget: Mosaic's compile time for the unrolled shift
+# ladder scales with (extended plane bytes) x (ladder passes), so keep
+# the (e, nx) extended sub-plane small even when VMEM could hold more
+# (measured: 256^3 at one 264-row part compiles in ~112 s; four 72-row
+# parts in ~17 s, warm time unchanged)
+_MAX_LADDER_BYTES = 128 << 10
 
 
 def pick_y_parts(ny: int, nx: int) -> Optional[int]:
-    """Smallest power-of-two y partition whose sub-planes fit the VMEM
-    budget, or None if the grid can't be partitioned cleanly (callers
-    fall back to the XLA drivers)."""
-    h = 1
-    while ny * nx * 4 // h > _MAX_PART_BYTES:
-        h *= 2
-    if h == 1:
-        return 1 if min(ny, nx) >= 2 else None
-    ny2 = ny // h
-    if h > 16 or ny % h != 0 or ny2 % 8 != 0 or ny2 < 8:
+    """Power-of-two y partition for the fused kernel, or None if the
+    grid can't be partitioned cleanly (callers fall back to the XLA
+    drivers). Prefers the smallest partition whose extended sub-plane
+    fits BOTH the VMEM budget and the compile-size budget; if no
+    partition meets the latter, takes the one minimizing the extended
+    plane (the compile-time driver)."""
+    if min(ny, nx) < 2:
         return None
-    return h
+    best = None
+    best_e = None
+    h = 1
+    while h <= 64:
+        ny2 = ny // h
+        if ny % h or (h > 1 and (ny2 % 8 or ny2 < 8)):
+            h *= 2
+            continue
+        if ny2 * nx * 4 <= _MAX_PART_BYTES:
+            e = -(-(ny2 + 2) // 8) * 8
+            if e * nx * 4 <= _MAX_LADDER_BYTES:
+                return h
+            if best is None or e < best_e:
+                best, best_e = h, e
+        h *= 2
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -112,12 +130,15 @@ def _flat_iota(s: int, w: int) -> jax.Array:
     ) * w + jax.lax.broadcasted_iota(jnp.int32, (s, w), 1)
 
 
-def _flat_roll_bwd(x: jax.Array, k: int) -> jax.Array:
-    """out[f] = x[f + k] in row-major flat order over a 2D plane.
-
-    Positions with f + k >= S*W read wrapped garbage -- callers mask.
-    (pltpu.roll only accepts non-negative shifts, hence the size - k
-    forms.)"""
+def _flat_roll_bwd(x: jax.Array, k: int, size: int) -> jax.Array:
+    """out[f] = x[f + k] in REGION-flat row-major order: the plane is a
+    vertical stack of independent regions of `size` = e*w elements each
+    (one per compacted stream); k is static. Positions whose region-flat
+    f + k >= size read garbage from the next region or wrap -- callers
+    mask with the region lattice. (pltpu.roll only accepts non-negative
+    shifts, hence the size - k forms. Dynamic shifts are NOT used:
+    tpu.dynamic_rotate rejects non-lane-aligned shapes, and small
+    bunny-class grids hit exactly those.)"""
     s, w = x.shape
     dl, dr = k % w, (k // w) % s
     a = pltpu.roll(x, (w - dl) % w, 1) if dl else x
@@ -129,62 +150,104 @@ def _flat_roll_bwd(x: jax.Array, k: int) -> jax.Array:
     return jnp.where(lane < w - dl, b0, b1)
 
 
-def _flat_cumsum(x: jax.Array) -> jax.Array:
-    """Inclusive row-major cumsum of an i32 plane via log-shift passes
-    (lax.cumsum has no Pallas TPU lowering). out[f] = sum(x[:f+1])."""
+def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
+    """Inclusive cumsum of an i32 plane in region-flat order (the plane
+    stacks independent regions of `size` = e*w elements; rflat is each
+    element's flat index within its region), via TWO MXU matmuls
+    instead of log2(e*w) roll+select passes: a row-wise prefix against
+    an upper-triangular ones matrix, plus a block-diagonal
+    strictly-lower prefix of the row totals. The MXU is otherwise idle
+    in this kernel, and every partial sum is < 2^24 (region size tops
+    out around 2^18), so f32 accumulation is exact -- the result is
+    bit-identical to the shift-ladder cumsum. Cuts both compile time
+    (~100 fewer unrolled vector ops) and runtime."""
     s, w = x.shape
-    flat = _flat_iota(s, w)
-    k = 1
-    while k < s * w:
-        dl, dr = k % w, (k // w) % s
-        a = pltpu.roll(x, dl, 1) if dl else x
-        b0 = pltpu.roll(a, dr, 0) if dr else a
-        if dl:
-            b1 = pltpu.roll(a, (dr + 1) % s, 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (s, w), 1)
-            sh = jnp.where(lane >= dl, b0, b1)
-        else:
-            sh = b0
-        x = x + jnp.where(flat >= k, sh, 0)
-        k *= 2
-    return x
+    e = size // w
+    xf = x.astype(jnp.float32)
+    # row-inclusive prefix: out[r, j] = sum_{i <= j} x[r, i]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    ).astype(jnp.float32)
+    row_incl = jax.lax.dot(
+        xf, tri, preferred_element_type=jnp.float32
+    )
+    # strictly-lower block-diagonal prefix of row totals, confined to
+    # each region's rows
+    totals = row_incl[:, w - 1 : w]  # (s, 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    pre_m = ((cc < rr) & (cc // e == rr // e)).astype(jnp.float32)
+    pre = jax.lax.dot(
+        pre_m, totals, preferred_element_type=jnp.float32
+    )  # (s, 1)
+    return (row_incl + pre).astype(jnp.int32)
 
 
-def _compact_write(flag, payloads, out_refs, counts_ref, count_lane, rows):
-    """Pack flagged elements of a plane to its flat front; write the
-    first `rows` rows of each payload to its output ref and the flag
-    count to SMEM lane `count_lane`. Skips all work on empty planes."""
-    s, w = flag.shape
-    flag = flag.astype(jnp.int32)
-    total = jnp.sum(flag)
-    counts_ref[0, 0, count_lane] = total
+def _compact_write_multi(
+    flags, pays_f32, pays_i32, write_fns, counts_ref, rows_list
+):
+    """Pack four streams' flagged elements to their flat fronts with ONE
+    shared shift ladder.
 
-    @pl.when(total > 0)
+    Each stream is an (e, w) plane with an i32-valued flag plane and two
+    payload planes (one carried as f32 bits, one as i32). The streams
+    are STACKED along sublanes into (4e, w) superplanes and compacted
+    together: every ladder pass is one roll/select on the stack instead
+    of four -- ~4x smaller Mosaic program than per-stream ladders (the
+    unrolled ladder dominated the 1024^3 cold compile), identical
+    permutation per stream (all lattices are region-flat, so no element
+    crosses a region boundary). Per-stream counts land in SMEM lanes
+    0..3; write_fns[i](a_region, b_region) stores the first
+    rows_list[i] rows of stream i's packed payloads. Skips all movement
+    when every stream is empty, so extraction cost still tracks surface
+    occupancy."""
+    e, w = flags[0].shape
+    m = len(flags)
+    size = e * w
+    flag = jnp.concatenate(
+        [f.astype(jnp.int32) for f in flags], axis=0
+    )  # (m*e, w)
+    pa = jnp.concatenate(pays_f32, axis=0)
+    pb = jnp.concatenate(pays_i32, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m * e, w), 1)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (m * e, w), 0)
+    rflat = (lrow % e) * w + lane
+
+    totals = [
+        jnp.sum(flag[i * e : (i + 1) * e]) for i in range(m)
+    ]
+    for i, t in enumerate(totals):
+        counts_ref[0, 0, i] = t
+    total_all = sum(totals[1:], totals[0])
+
+    @pl.when(total_all > 0)
     def _():
-        pays = list(payloads)
-        flat = _flat_iota(s, w)
-        incl = _flat_cumsum(flag)
+        incl = _region_cumsum(flag, size)
         # the deficit doubles as the validity flag: unflagged slots hold
         # 0 (inert), movers zero their vacated slot, and a flagged
         # element whose deficit reaches 0 sits at its final position
-        deficit = jnp.where(flag > 0, flat - (incl - flag), 0)
+        deficit = jnp.where(flag > 0, rflat - (incl - flag), 0)
+        pa_, pb_ = pa, pb
         k = 1
-        while k < s * w:
+        while k < size:
             move = (deficit & k) != 0
-            src_move = (_flat_roll_bwd(move.astype(jnp.int32), k) > 0) & (
-                flat + k < s * w
-            )
-            pays = [
-                jnp.where(src_move, _flat_roll_bwd(p, k), p) for p in pays
-            ]
+            src_move = (
+                _flat_roll_bwd(move.astype(jnp.int32), k, size) > 0
+            ) & (rflat + k < size)
+            pa_ = jnp.where(src_move, _flat_roll_bwd(pa_, k, size), pa_)
+            pb_ = jnp.where(src_move, _flat_roll_bwd(pb_, k, size), pb_)
             deficit = jnp.where(
                 src_move,
-                _flat_roll_bwd(deficit, k) - k,
+                _flat_roll_bwd(deficit, k, size) - k,
                 jnp.where(move, 0, deficit),
             )
             k *= 2
-        for p, ref in zip(pays, out_refs):
-            ref[0] = p[:rows]
+        for i, (fn, rows) in enumerate(zip(write_fns, rows_list)):
+            fn(
+                pa_[i * e : i * e + rows],
+                pb_[i * e : i * e + rows],
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -362,14 +425,7 @@ def _mc_fused_kernel(
             # (see ops/marching_cubes.py axis_edges, axis == 0)
             up = (c0 > 0) | ((c0 == 0) & (c1 == 0) & (c2 > 0))
             pos_x = jnp.where(up, px1, px0)
-        _compact_write(
-            straddle_x & adj_x & owned,
-            (pos_x, lin),
-            (vx_pos_ref, vx_lin_ref),
-            counts_ref,
-            0,
-            rows_e,
-        )
+        flag_x = straddle_x & adj_x & owned
 
         # --- y-edge stream ---
         straddle_y = ((s0 < iso_level) != (s0y < iso_level)) & (
@@ -390,14 +446,7 @@ def _mc_fused_kernel(
                 (c0 == 0) & (c1 == 0) & (c2 == 0) & (c3 > 0)
             )
             pos_y = jnp.where(up, py1, py0)
-        _compact_write(
-            straddle_y & adj_y & owned,
-            (pos_y, lin),
-            (vy_pos_ref, vy_lin_ref),
-            counts_ref,
-            1,
-            rows_e,
-        )
+        flag_y = straddle_y & adj_y & owned
 
         # --- z-edge stream ---
         # straddle vs an INVALID +z plane can read true, but all four
@@ -413,24 +462,42 @@ def _mc_fused_kernel(
         else:
             # z-edges always take the lower end (edges 8-11 point +z)
             pos_z = jnp.zeros((e, nx), jnp.float32) + pz0
-        _compact_write(
-            straddle_z & adj_z & owned,
-            (jnp.broadcast_to(pos_z, (e, nx)), lin),
-            (vz_pos_ref, vz_lin_ref),
-            counts_ref,
-            2,
-            rows_e,
-        )
+        flag_z = straddle_z & adj_z & owned
 
         # --- active-cube stream (case strictly between 0 and 255) ---
         cube_flag = (cv_k > 0) & (case != 0) & (case != 255) & owned
-        _compact_write(
-            cube_flag,
-            (lin, case),
-            (c_lin_ref, c_case_ref),
+
+        # one shared ladder compacts all four streams (the cube stream's
+        # lin rides the f32 superplane as raw bits and is bitcast back
+        # at the write)
+        def w_edge(pr, lr):
+            def fn(a, b):
+                pr[0] = a
+                lr[0] = b
+
+            return fn
+
+        def w_cube(a, b):
+            c_lin_ref[0] = jax.lax.bitcast_convert_type(a, jnp.int32)
+            c_case_ref[0] = b
+
+        _compact_write_multi(
+            (flag_x, flag_y, flag_z, cube_flag),
+            (
+                pos_x,
+                pos_y,
+                jnp.broadcast_to(pos_z, (e, nx)),
+                jax.lax.bitcast_convert_type(lin, jnp.float32),
+            ),
+            (lin, lin, lin, case),
+            (
+                w_edge(vx_pos_ref, vx_lin_ref),
+                w_edge(vy_pos_ref, vy_lin_ref),
+                w_edge(vz_pos_ref, vz_lin_ref),
+                w_cube,
+            ),
             counts_ref,
-            3,
-            rows_c,
+            (rows_e, rows_e, rows_e, rows_c),
         )
 
     return kernel
@@ -784,7 +851,6 @@ def finish_fused_extract(outs, counts, ny: int, nx: int,
     the mesh on host (shared by the plain and sharded fused drivers;
     the sharded driver's outs are stacked over shards in ascending z,
     which is already global step order)."""
-    centers = [np.asarray(grid.axis_centers(a)) for a in range(3)]
     tots = [int(counts[:, a].sum()) for a in range(4)]
     caps = tuple(_bucket_cap(t) for t in tots)
     # single dispatch + single host transfer for all eight streams
@@ -801,18 +867,30 @@ def finish_fused_extract(outs, counts, ny: int, nx: int,
     clin = buf[at : at + tots[3]]
     at += caps[3]
     ccase = buf[at : at + tots[3]]
+    return assemble_fused_streams(
+        vpos_parts, vlin_parts, clin, ccase, ny, nx, grid
+    )
 
-    # vertices: the interpolated coordinate came from the kernel; the
-    # two fixed coordinates are exact functions of the owner id
+
+def assemble_fused_streams(vpos_parts, vlin_parts, clin, ccase,
+                           ny: int, nx: int, grid: GridSpec) -> Mesh:
+    """Host assembly of packed fused-kernel streams (numpy): vertex
+    fixed coordinates are exact functions of the owner id, faces expand
+    from (cube id, case) pairs. Streams must be in global (z, y, x)
+    step order -- the multi-process piece path concatenates per-shard
+    trimmed streams in ascending shard order to satisfy this."""
+    centers = [np.asarray(grid.axis_centers(a)) for a in range(3)]
+    # the interpolated coordinate came from the kernel; the two fixed
+    # coordinates are recomputed from the owner id
     bases = np.cumsum([0] + [len(v) for v in vlin_parts[:2]])
     verts = np.empty((sum(len(v) for v in vlin_parts), 3), np.float32)
     at = 0
     for a in range(3):
-        lin = vlin_parts[a]
+        lin = np.asarray(vlin_parts[a], np.int64)
         n = len(lin)
-        i = (lin % nx).astype(np.int64)
-        j = ((lin // nx) % ny).astype(np.int64)
-        kk = (lin // (nx * ny)).astype(np.int64)
+        i = lin % nx
+        j = (lin // nx) % ny
+        kk = lin // (nx * ny)
         comps = [centers[0][i], centers[1][j], centers[2][kk]]
         comps[a] = vpos_parts[a]
         verts[at : at + n] = np.stack(comps, axis=-1)

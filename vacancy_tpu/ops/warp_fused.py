@@ -11,11 +11,16 @@ v*), the skip/outside masks, and the reference update rule inline. HBM
 traffic becomes one read + one write of the state plus one read of the
 images -- ~2 GB instead of ~200 GB for 512^3 x 24 views.
 
-Numerics match ops/fusion_warp.py formula-for-formula (same clamps, tap
-rules, and `apply_view_update`); Mosaic may round the homography
-divisions differently from XLA by an ulp, so equality tests use a tight
-tolerance rather than bit identity, and the mesh-level warp gates
-(tests/test_warp_e2e.py) hold unchanged.
+Numerics: with ``precise=True`` (the default) the kernel is
+BIT-IDENTICAL to the two-pass engine -- same formulas, same clamps, same
+tap rules, same `apply_view_update`; Mosaic rounds the homography
+divisions identically to XLA-on-TPU and the equality tests assert
+`assert_array_equal` (verified on the real TPU backend at 128^3/512^3,
+both update rules, and in interpret mode on CPU). ``precise=False``
+replaces the two pass-2 homography divides with one shared reciprocal
+(u* and v* share 1/S); the sampled distance can then differ from the
+two-pass engine in the last ulp of the projected coordinate, so only
+mesh-level gates apply. Dispatch keeps the default precise.
 
 Layout notes: the kernel works in a transposed (NX, NY) plane layout so
 pass 2's vertical interpolation is a lane-axis gather; the only
@@ -25,6 +30,18 @@ intermediate (1 per view-plane). Mosaic's `dynamic_gather` is strictly
 tiles and selects over 128-lane table chunks (same scheme as
 ops/warp_gather.py). Requires lane-aligned grids (NX, NY multiples of
 128); `carve_views_warp` dispatches here on TPU when that holds.
+
+**Wide planes (x partitioning).** One full 1024^2 working plane plus
+its ~12 live (nx, ny) temporaries blows the VMEM budget (measured 2.5x
+SLOWER than the unrolled XLA scan). The warp is exactly separable in x
+-- pass 1's intermediate is per image row AND per grid column, so an
+x-slice of the output needs only the same x-slice of the intermediate
+-- which makes an x partition free of redundant work (a y partition
+would recompute pass 1 per part). The grid is (nz, x_parts): each step
+fuses every view into one (ny, nxp) slice of the plane, with the image
+stack resident across steps. `_pick_x_part` chooses the widest
+lane-multiple divisor of nx whose (nxp, ny) working set fits the
+per-plane budget; x_parts == 1 reduces to the plain per-plane kernel.
 """
 
 from __future__ import annotations
@@ -43,6 +60,26 @@ from .fusion import apply_view_update
 
 _SENTINEL_CLAMP = np.float32(-1e6)
 _LANE = 128
+
+# one (nxp, ny) f32 working sub-plane may use at most this many bytes;
+# the kernel holds ~12 of them live plus the image stack. 512^2 planes
+# (1 MB) are the measured sweet spot on this chip -- full 1024^2 planes
+# thrash VMEM.
+_PART_BYTES = 1 << 20
+
+
+def _pick_x_part(ny: int, nx: int,
+                 part_bytes: int = _PART_BYTES) -> "int | None":
+    """Widest lane-multiple divisor of nx whose (nxp, ny) working plane
+    fits the per-plane VMEM budget, or None if the plane cannot be
+    partitioned (callers fall back to the two-pass engine)."""
+    if nx % _LANE or ny % _LANE:
+        return None
+    for d in range(nx // _LANE, 0, -1):
+        nxp = d * _LANE
+        if nx % nxp == 0 and nxp * ny * 4 <= part_bytes:
+            return nxp
+    return None
 
 
 def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
@@ -87,21 +124,21 @@ def _interp_inline(tab: jax.Array, pos: jax.Array, width: int,
 
 
 def _warp_fused_kernel(
-    nz: int, ny: int, nx: int, h: int, w: int, hpad: int,
-    v_count: int, opt: VoxelUpdateOption, linear: bool,
+    nz: int, ny: int, nxp: int, h: int, w: int, hpad: int,
+    v_count: int, opt: VoxelUpdateOption, linear: bool, precise: bool,
 ):
     def kernel(
         cz_ref,  # SMEM f32[1, nz]
         coef_ref,  # SMEM f32[v, 16]: R row-major 9, t 3, fx fy cx cy
         max_ref,  # SMEM f32[1, v]: per-image max sdf
-        sdf_ref,  # VMEM f32[1, ny, nx] state plane
-        un_ref,  # VMEM i32[1, ny, nx]
+        sdf_ref,  # VMEM f32[1, ny, nxp] state plane x-slice
+        un_ref,  # VMEM i32[1, ny, nxp]
         imgs_ref,  # VMEM f32[v, h, wpad] (sentinel-clamped, lane-padded)
-        cxr_ref,  # VMEM f32[1, nx]
-        cxc_ref,  # VMEM f32[nx, 1]
+        cxr_ref,  # VMEM f32[1, nxp]
+        cxc_ref,  # VMEM f32[nxp, 1]
         cyr_ref,  # VMEM f32[1, ny]
-        osdf_ref,  # VMEM f32[1, ny, nx]
-        oun_ref,  # VMEM i32[1, ny, nx]
+        osdf_ref,  # VMEM f32[1, ny, nxp]
+        oun_ref,  # VMEM i32[1, ny, nxp]
     ):
         k = pl.program_id(0)
         czk = cz_ref[0, k]
@@ -110,9 +147,9 @@ def _warp_fused_kernel(
         # a lane gather, and the update applies in the same layout
         sdf_t = sdf_ref[0].T
         un_t = un_ref[0].T
-        x_col = jnp.broadcast_to(cxc_ref[:], (nx, ny))  # x per sublane
-        y_row = jnp.broadcast_to(cyr_ref[:], (nx, ny))  # y per lane
-        x_row1 = cxr_ref[:]  # (1, nx) for pass 1
+        x_col = jnp.broadcast_to(cxc_ref[:], (nxp, ny))  # x per sublane
+        y_row = jnp.broadcast_to(cyr_ref[:], (nxp, ny))  # y per lane
+        x_row1 = cxr_ref[:]  # (1, nxp) for pass 1
 
         def view_body(v, carry):
             sdf_t, un_t = carry
@@ -132,12 +169,12 @@ def _warp_fused_kernel(
             # ---- pass 1: horizontal resample at u_eq(vrow, x) ----
             # (identical formulas to fusion_warp._warp_dist_one_view)
             vbar = (
-                jax.lax.broadcasted_iota(jnp.int32, (h, nx), 0).astype(
+                jax.lax.broadcasted_iota(jnp.int32, (h, nxp), 0).astype(
                     jnp.float32
                 )
                 - cyp
             )
-            xr = jnp.broadcast_to(x_row1, (h, nx))
+            xr = jnp.broadcast_to(x_row1, (h, nxp))
             denom = vbar * r21 - fy * r11
             safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
             y_star = (fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)) / safe
@@ -147,25 +184,33 @@ def _warp_fused_kernel(
             u_eq = jnp.clip(
                 jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
             )
-            inter = _interp_inline(img, u_eq, w, linear)  # (h, nx)
+            inter = _interp_inline(img, u_eq, w, linear)  # (h, nxp)
 
             # lane-pad the transposed intermediate for the pass-2 gather
             # (concatenate: .at[].set on a value lowers to scatter, which
             # has no Mosaic rule)
             inter_t = jnp.concatenate(
-                [inter.T, jnp.zeros((nx, hpad - h), jnp.float32)], axis=1
+                [inter.T, jnp.zeros((nxp, hpad - h), jnp.float32)], axis=1
             ) if hpad != h else inter.T
 
             # ---- pass 2 + masks at the exact projection ----
             s_ = c0 + r20 * x_col + r21 * y_row
             q_ = b0 + r10 * x_col + r11 * y_row
             p_ = a0 + r00 * x_col + r01 * y_row
-            v_star = fy * q_ / s_ + cyp
-            u_star = fx * p_ / s_ + cxp
+            if precise:
+                v_star = fy * q_ / s_ + cyp
+                u_star = fx * p_ / s_ + cxp
+            else:
+                # one shared reciprocal for both projected coordinates:
+                # last-ulp divergence from the two-pass engine, ~half
+                # the divide cost (the kernel is compute-bound here)
+                r_ = 1.0 / s_
+                v_star = fy * q_ * r_ + cyp
+                u_star = fx * p_ * r_ + cxp
             v_pos = jnp.clip(
                 jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
             )
-            dist = _interp_inline(inter_t, v_pos, h, linear)  # (nx, ny)
+            dist = _interp_inline(inter_t, v_pos, h, linear)  # (nxp, ny)
 
             behind = s_ < 0
             bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
@@ -203,13 +248,19 @@ def warp_fuse_planes(
     opt: VoxelUpdateOption,
     linear: bool,
     interpret: bool = False,
+    precise: bool = True,
+    x_part: "int | None" = None,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
-    Requires NX, NY multiples of 128. Returns (sdf, un)."""
+    Requires NX, NY multiples of 128; planes wider than the VMEM budget
+    are x-partitioned (x_part overrides the auto pick, for tests).
+    Returns (sdf, un)."""
     v_count, h, w = sdf_images.shape
     nz, ny, nx = sdf.shape
-    assert nx % _LANE == 0 and ny % _LANE == 0, (nx, ny)
+    nxp = x_part or _pick_x_part(ny, nx)
+    assert nxp is not None and nx % nxp == 0, (nx, ny, nxp)
+    n_xp = nx // nxp
 
     wpad = -(-w // _LANE) * _LANE
     hpad = -(-h // _LANE) * _LANE
@@ -229,17 +280,18 @@ def warp_fuse_planes(
     cz = cz.reshape(1, nz)
 
     kernel = _warp_fused_kernel(
-        nz, ny, nx, h, w, hpad, v_count, opt, linear
+        nz, ny, nxp, h, w, hpad, v_count, opt, linear, precise
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
-        (1, ny, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+        (1, ny, nxp), lambda k, xp: (k, 0, xp), memory_space=pltpu.VMEM
     )
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda k: tuple(0 for _ in shape), memory_space=pltpu.SMEM
+        shape, lambda k, xp: tuple(0 for _ in shape),
+        memory_space=pltpu.SMEM,
     )
     new_sdf, new_un = pl.pallas_call(
         kernel,
-        grid=(nz,),
+        grid=(nz, n_xp),
         in_specs=[
             smem((1, nz)),
             smem((v_count, 16)),
@@ -247,17 +299,17 @@ def warp_fuse_planes(
             plane(jnp.float32),
             plane(jnp.int32),
             pl.BlockSpec(
-                (v_count, h, wpad), lambda k: (0, 0, 0),
+                (v_count, h, wpad), lambda k, xp: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nx), lambda k: (0, 0), memory_space=pltpu.VMEM
+                (1, nxp), lambda k, xp: (0, xp), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (nx, 1), lambda k: (0, 0), memory_space=pltpu.VMEM
+                (nxp, 1), lambda k, xp: (xp, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, ny), lambda k: (0, 0), memory_space=pltpu.VMEM
+                (1, ny), lambda k, xp: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(plane(jnp.float32), plane(jnp.int32)),
@@ -266,7 +318,7 @@ def warp_fuse_planes(
             jax.ShapeDtypeStruct((nz, ny, nx), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -277,7 +329,11 @@ def warp_fuse_planes(
     return new_sdf, new_un
 
 
-@partial(jax.jit, static_argnames=("grid", "opt", "linear", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("grid", "opt", "linear", "interpret", "precise",
+                     "x_part"),
+)
 def carve_views_warp_fused(
     state: VoxelGridState,
     grid: GridSpec,
@@ -288,6 +344,8 @@ def carve_views_warp_fused(
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
     interpret: bool = False,
+    precise: bool = True,
+    x_part: "int | None" = None,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
@@ -304,6 +362,6 @@ def carve_views_warp_fused(
         jnp.asarray(grid.axis_centers(1)),
         jnp.asarray(grid.axis_centers(2)),
         w2c, principal_point, focal_length, sdf_images,
-        opt, linear, interpret,
+        opt, linear, interpret, precise, x_part,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)

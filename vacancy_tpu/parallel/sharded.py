@@ -320,20 +320,24 @@ def extract_mesh_fused_sharded(
     linear_interp: bool = True,
     rows_hint: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> TriMesh:
+    piece_dir: Optional[str] = None,
+) -> Optional[TriMesh]:
     """Sharded fused-kernel MC -> the dense driver's exact mesh.
 
-    Single-process only (the streams gather through one host); the
-    multi-process path keeps the XLA slab core with per-shard piece
-    files (extract_mesh_sharded)."""
+    Single process: gathers the per-shard streams directly (one device
+    pack + one host transfer). Multi-process: every process runs the
+    same global program, trims its ADDRESSABLE shards' per-step stream
+    blocks to their exact counts, writes them as a piece file under
+    ``piece_dir``, and process 0 concatenates the pieces in ascending
+    shard order -- which IS global (z, y, x) step order, so the plain
+    fused assembly applies unchanged and the mesh is byte-identical to
+    the dense single-device extraction (others return None)."""
     from ..ops.mc_fused import finish_fused_extract, pick_y_parts
 
-    if jax.process_count() > 1:
-        raise ValueError(
-            "extract_mesh_fused_sharded is single-process; use "
-            "extract_mesh_sharded(piece_dir=...) across processes"
-        )
+    multiproc = jax.process_count() > 1
     nz, ny, nx = state.sdf.shape
+    n = mesh.shape[AXIS]
+    lz = nz // n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h = pick_y_parts(ny, nx)
@@ -343,6 +347,7 @@ def extract_mesh_fused_sharded(
             "fused kernel; use extract_mesh_sharded"
         )
     ny2 = ny // h
+    steps_per_shard = (lz + 2) * h
     rows_e = rows_c = min(ny2 + 2, rows_hint or max(4, ny2 // 8))
     for _ in range(8):
         outs = marching_cubes_fused_sharded(
@@ -352,9 +357,33 @@ def extract_mesh_fused_sharded(
             y_parts=h, rows_e=rows_e, rows_c=rows_c,
             mesh=mesh, interpret=bool(interpret),
         )
-        counts = np.asarray(outs[8]).reshape(-1, 8)
-        need_e = int(counts[:, :3].max(initial=0))
-        need_c = int(counts[:, 3].max(initial=0))
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            lcounts = _local_blocks(outs[8], steps_per_shard)
+            local_need = np.array(
+                [
+                    max(
+                        (int(c.reshape(-1, 8)[:, :3].max())
+                         for c in lcounts.values()),
+                        default=0,
+                    ),
+                    max(
+                        (int(c.reshape(-1, 8)[:, 3].max())
+                         for c in lcounts.values()),
+                        default=0,
+                    ),
+                ],
+                np.int64,
+            )
+            gmax = np.asarray(
+                multihost_utils.process_allgather(local_need)
+            ).reshape(-1, 2)
+            need_e, need_c = int(gmax[:, 0].max()), int(gmax[:, 1].max())
+        else:
+            counts = np.asarray(outs[8]).reshape(-1, 8)
+            need_e = int(counts[:, :3].max(initial=0))
+            need_c = int(counts[:, 3].max(initial=0))
         if need_e <= rows_e * nx and need_c <= rows_c * nx:
             break
         rows_e = min(ny2 + 2, max(rows_e * 2, -(-need_e // nx)))
@@ -363,7 +392,75 @@ def extract_mesh_fused_sharded(
         raise RuntimeError(
             "sharded fused MC capacity loop failed to converge"
         )
+    if multiproc:
+        return _emit_fused_pieces_and_assemble(
+            outs, steps_per_shard, n, ny, nx, grid, piece_dir
+        )
     return finish_fused_extract(outs, counts, ny, nx, grid)
+
+
+# stream index -> counts lane (x/y/z edge streams come in (pos, lin)
+# pairs; streams 6/7 are the active-cube (lin, case) pair)
+_FUSED_STREAM_LANE = (0, 0, 1, 1, 2, 2, 3, 3)
+
+
+def _emit_fused_pieces_and_assemble(
+    outs, steps_per_shard, n, ny, nx, grid, piece_dir
+) -> Optional[TriMesh]:
+    """Multi-process finish for the fused kernel: write this process's
+    shards' per-step stream blocks trimmed to their exact counts,
+    barrier, assemble on process 0 (others return None)."""
+    import os
+
+    from jax.experimental import multihost_utils
+
+    from ..ops.mc_fused import assemble_fused_streams
+
+    if piece_dir is None:
+        raise ValueError(
+            "fused sharded extraction with multiple processes needs a "
+            "piece_dir reachable from every host"
+        )
+    os.makedirs(piece_dir, exist_ok=True)
+    lcounts = _local_blocks(outs[8], steps_per_shard)
+    payload = {}
+    for i in range(8):
+        blocks = _local_blocks(outs[i], steps_per_shard)
+        lane = _FUSED_STREAM_LANE[i]
+        for k, a in blocks.items():
+            c = lcounts[k].reshape(-1, 8)[:, lane]
+            steps = a.reshape(a.shape[0], -1)
+            trimmed = [steps[s, : c[s]] for s in range(len(c))]
+            payload[f"k{k}_s{i}"] = (
+                np.concatenate(trimmed)
+                if trimmed
+                else np.zeros((0,), a.dtype)
+            )
+    pid = jax.process_index()
+    np.savez(
+        os.path.join(piece_dir, f"mc_fused_pieces_proc{pid}.npz"),
+        **payload,
+    )
+    multihost_utils.sync_global_devices("vacancy_mc_fused_pieces")
+    if pid != 0:
+        return None
+
+    pieces = {}
+    for p in range(jax.process_count()):
+        f = os.path.join(piece_dir, f"mc_fused_pieces_proc{p}.npz")
+        with np.load(f, allow_pickle=False) as z:
+            for key in z.files:
+                pieces[key] = z[key]
+    streams = [
+        np.concatenate([pieces[f"k{k}_s{i}"] for k in range(n)])
+        for i in range(8)
+    ]
+    vpos_parts = [streams[0], streams[2], streams[4]]
+    vlin_parts = [s.astype(np.int64) for s in (streams[1], streams[3],
+                                               streams[5])]
+    return assemble_fused_streams(
+        vpos_parts, vlin_parts, streams[6], streams[7], ny, nx, grid
+    )
 
 
 def _local_blocks(arr: jax.Array, block_len: int) -> dict:
@@ -389,9 +486,8 @@ def extract_mesh_sharded(
     """Host wrapper: sharded MC -> the dense driver's exact mesh.
 
     engine="auto" runs the FUSED Pallas kernel per shard on a TPU
-    backend in a single process (extract_mesh_fused_sharded); "xla"
-    forces the slab-emission core. Multi-process always uses the XLA
-    core with per-shard piece files.
+    backend (extract_mesh_fused_sharded) -- in any process count;
+    "xla" forces the slab-emission core.
 
     Single process: gathers every shard directly. Multi-process
     (``jax.process_count() > 1``): each process writes ONLY its
@@ -399,13 +495,14 @@ def extract_mesh_sharded(
     ``piece_dir`` (a filesystem all hosts can reach), processes
     barrier, and process 0 assembles and returns the mesh (other
     processes return None) -- the SURVEY section 5 "per-shard pieces +
-    host-0 weld" path; no cross-host transfer of capacity buffers."""
+    host-0 weld" path; no cross-host transfer of capacity buffers.
+    Both engines emit the dense driver's exact mesh either way."""
     n = mesh.shape[AXIS]
     nz, ny, nx = state.sdf.shape
     multiproc = jax.process_count() > 1
     if engine not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown engine {engine!r}")
-    if engine != "xla" and not multiproc:
+    if engine != "xla":
         from ..ops.mc_fused import pick_y_parts
 
         use_fused = engine == "fused" or (
@@ -417,6 +514,7 @@ def extract_mesh_sharded(
             return extract_mesh_fused_sharded(
                 state, grid, mesh,
                 iso_level=iso_level, linear_interp=linear_interp,
+                piece_dir=piece_dir,
             )
     if capacity_hint is None:
         capacity_hint = max(1 << 12, int(8 * ny * nx))
