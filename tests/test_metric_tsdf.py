@@ -1,0 +1,96 @@
+"""Metric TSDF fusion (the sdf_scale extension beyond the reference).
+
+The reference minmax-normalizes every 2D SDF image by its own max
+(voxel_carver.cc:205-222), so TSDF values mean different world
+distances in every view, and the fused zero crossing is biased by
+whichever views dominate -- measurably, chamfer-vs-GT WORSENS as the
+grid gets finer under reference semantics. ``sdf_scale`` keeps the 2D
+SDF metric (pixels x world-units-per-pixel) with the truncation band in
+world units, making samples comparable across views; this suite pins
+the claimed behavior: metric-mode chamfer improves with resolution and
+beats the normalized mode at a fine grid.
+"""
+
+import numpy as np
+import pytest
+
+from vacancy_tpu.carver import VoxelCarver
+from vacancy_tpu.config import INVALID_SDF
+from vacancy_tpu.metrics import bbox_diagonal, chamfer_distance
+from vacancy_tpu.ops.sdf2d import make_signed_distance_field
+from vacancy_tpu.pipeline import (
+    BUNNY_BB_MAX,
+    BUNNY_BB_MIN,
+    bunny_option,
+    load_bunny,
+)
+
+
+def _bunny_scale(cams):
+    """World units per pixel at the object's depth: camera distance to
+    the bbox center over the focal length."""
+    center = 0.5 * (np.asarray(BUNNY_BB_MIN) + np.asarray(BUNNY_BB_MAX))
+    dists = [
+        float(np.linalg.norm(np.asarray(c.c2w)[:3, 3] - center))
+        for c in cams
+    ]
+    fx = float(np.asarray(cams[0].focal_length)[0])
+    return float(np.mean(dists)) / fx
+
+
+def _chamfer_gt(gt, resolution, sdf_scale, band):
+    cams, masks = load_bunny()
+    carver = VoxelCarver(
+        bunny_option(
+            resolution=resolution,
+            tsdf=True,
+            truncation_band=band,
+            sdf_scale=sdf_scale,
+        )
+    )
+    assert carver.init()
+    carver.carve_batch(cams, masks, engine="warp")
+    mesh = carver.extract_iso_surface(0.0)
+    ch, _, _ = chamfer_distance(mesh, gt, max_points=100_000)
+    return ch / bbox_diagonal(gt)
+
+
+def test_metric_sdf_image_semantics():
+    """Unit semantics of the scaled 2D SDF: values are pixel distances
+    times the scale, truncation clamps at +band and invalidates at
+    -band without renormalizing."""
+    mask = np.zeros((16, 24), np.uint8)
+    mask[4:12, 6:18] = 255
+    scale = 2.5
+    band = 7.0
+    sdf = np.asarray(
+        make_signed_distance_field(
+            mask, use_truncation=True, truncation_band=band,
+            sdf_scale=scale,
+        )
+    )
+    # one pixel outside the silhouette boundary: distance 1 px -> scale
+    assert sdf[4, 5] == scale
+    # far outside clamps to +band (not 1.0)
+    assert sdf[0, 0] == band
+    # deep inside is beyond -band -> invalid sentinel
+    assert sdf[8, 12] == INVALID_SDF
+    # one pixel inside: -scale (within the band, not renormalized)
+    assert sdf[4, 6] == -scale
+
+
+def test_metric_tsdf_chamfer_improves_with_resolution(bunny_gt):
+    """The headline claim: with metric fusion, finer grids get CLOSER
+    to GT (reference-normalized TSDF moves away); at the fine grid the
+    metric mode beats the normalized mode."""
+    cams, _ = load_bunny()
+    scale = _bunny_scale(cams)
+
+    # metric band = 3 voxels at each resolution
+    m_coarse = _chamfer_gt(bunny_gt, 10.0, scale, 3 * 10.0)
+    m_fine = _chamfer_gt(bunny_gt, 6.0, scale, 3 * 6.0)
+    # reference-normalized semantics at the same fine grid
+    n_fine = _chamfer_gt(bunny_gt, 6.0, None, 0.1)
+
+    assert m_fine < m_coarse, (m_fine, m_coarse)
+    assert m_fine < n_fine, (m_fine, n_fine)

@@ -51,6 +51,17 @@ class VoxelCarver:
     def state(self, value: VoxelGridState) -> None:
         self._state = value
 
+    def _effective_update_option(self):
+        """The update option the engines see: configuring sdf_scale
+        (metric TSDF) switches the truncated-sample skip threshold to
+        world units (config.VoxelUpdateOption.metric_truncation)."""
+        import dataclasses
+
+        opt = self._option.update_option
+        if self._option.sdf_scale is not None and not opt.metric_truncation:
+            opt = dataclasses.replace(opt, metric_truncation=True)
+        return opt
+
     def init(self, sharding=None) -> bool:
         """Validate options and allocate the grid (voxel_carver.cc:375-392)."""
         try:
@@ -97,7 +108,7 @@ class VoxelCarver:
             rmax = roi_max or (w - 1, h - 1)
             roi = (int(rmin[0]), int(rmin[1]), int(rmax[0]), int(rmax[1]))
 
-        opt = self._option.update_option
+        opt = self._effective_update_option()
         if debug and sdf is not None:
             from .utils.debug import assert_finite
 
@@ -112,6 +123,7 @@ class VoxelCarver:
                 roi=roi,
                 opt=opt,
                 sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+                sdf_scale=self._option.sdf_scale,
             )
             return np.asarray(sdf_images[0])
         ortho = not hasattr(camera, "principal_point")
@@ -162,7 +174,7 @@ class VoxelCarver:
             if hasattr(cameras, "w2c")  # a single (possibly batched) camera
             else stack_cameras(list(cameras))
         )
-        opt = self._option.update_option
+        opt = self._effective_update_option()
         if engine == "exact":
             call = lambda: carve_masks(  # noqa: E731
                 self._state,
@@ -171,6 +183,7 @@ class VoxelCarver:
                 jnp.asarray(silhouettes),
                 opt=opt,
                 sdf_minmax_normalize=self._option.sdf_minmax_normalize,
+                sdf_scale=self._option.sdf_scale,
             )
             if debug:
                 from .utils.debug import assert_finite, checked_call
@@ -207,6 +220,7 @@ class VoxelCarver:
                 minmax_normalize=self._option.sdf_minmax_normalize,
                 use_truncation=opt.use_truncation,
                 truncation_band=opt.truncation_band,
+                sdf_scale=self._option.sdf_scale,
             )
         )(masks)
         if debug:

@@ -52,6 +52,12 @@ class VoxelUpdateOption:
     voxel_update_weight: float = 1.0  # only used by WEIGHTED_AVERAGE
     use_truncation: bool = False
     truncation_band: float = 0.1  # must be positive
+    # Metric-TSDF extension (see VoxelCarverOption.sdf_scale): truncated
+    # 2D SDF values stay in world units, so the fusion loop's
+    # truncated-sample skip threshold is -truncation_band instead of the
+    # reference's hardcoded -1 (which assumes band-normalized values).
+    # Set automatically by VoxelCarver when sdf_scale is configured.
+    metric_truncation: bool = False
 
     def validate(self) -> None:
         if self.voxel_max_update_num < 1:
@@ -64,7 +70,18 @@ class VoxelUpdateOption:
 
 @dataclasses.dataclass(frozen=True)
 class VoxelCarverOption:
-    """Carver configuration (reference: voxel_carver.h:54-60)."""
+    """Carver configuration (reference: voxel_carver.h:54-60).
+
+    ``sdf_scale`` is an extension beyond the reference: when set, the 2D
+    SDF images stay METRIC -- pixel distances are multiplied by this
+    factor (world units per pixel at the object's depth, e.g.
+    ``mean_camera_distance / fx``) instead of being minmax-normalized
+    per image, and ``truncation_band`` is then interpreted in the same
+    world units (truncated values clamp to ``min(band, d)`` rather than
+    the reference's ``min(1, d/band)``). Per-image normalization makes
+    TSDF values incomparable across views and resolutions, which is why
+    the reference's chamfer-vs-GT *worsens* as the grid gets finer;
+    metric fusion removes that bias (tests/test_metric_tsdf.py)."""
 
     bb_min: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     bb_max: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -73,11 +90,14 @@ class VoxelCarverOption:
     update_option: VoxelUpdateOption = dataclasses.field(
         default_factory=VoxelUpdateOption
     )
+    sdf_scale: "float | None" = None
 
     def validate(self) -> None:
         self.update_option.validate()
         if self.resolution <= 0.0:
             raise ValueError(f"resolution must be positive: {self.resolution}")
+        if self.sdf_scale is not None and self.sdf_scale <= 0.0:
+            raise ValueError(f"sdf_scale must be positive: {self.sdf_scale}")
         bb_min = np.asarray(self.bb_min, dtype=np.float64)
         bb_max = np.asarray(self.bb_max, dtype=np.float64)
         if np.any(bb_max <= bb_min):

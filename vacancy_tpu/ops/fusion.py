@@ -166,8 +166,14 @@ def apply_view_update(
     # frozen voxels: update_num > cap (voxel_carver.cc:447-449)
     skip = skip | (update_num > opt.voxel_max_update_num)
     if opt.use_truncation:
-        # skip truncated samples (voxel_carver.cc:477-480)
-        skip = skip | (dist < -1.0)
+        # skip truncated samples (voxel_carver.cc:477-480). The
+        # reference's -1 threshold assumes band-normalized values whose
+        # valid truncated range is (-1, 1]; metric truncation keeps
+        # world units, so the below-range threshold is -band.
+        thresh = (
+            -float(opt.truncation_band) if opt.metric_truncation else -1.0
+        )
+        skip = skip | (dist < thresh)
 
     first_touch = update_num < 1
     if opt.voxel_update == VoxelUpdate.MAX:
@@ -269,9 +275,11 @@ def carve_masks(
     roi: Optional[Tuple[int, int, int, int]] = None,
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     sdf_minmax_normalize: bool = True,
+    sdf_scale: Optional[float] = None,
 ):
     """mask -> 2D SDF -> fuse, the reference's full Carve overload
-    (voxel_carver.cc:394-413). Returns (new_state, sdf_images)."""
+    (voxel_carver.cc:394-413). Returns (new_state, sdf_images).
+    sdf_scale: metric-TSDF extension, see config.VoxelCarverOption."""
     from .sdf2d import make_signed_distance_field
 
     masks = jnp.asarray(masks)
@@ -285,6 +293,7 @@ def carve_masks(
             minmax_normalize=sdf_minmax_normalize,
             use_truncation=opt.use_truncation,
             truncation_band=opt.truncation_band,
+            sdf_scale=sdf_scale,
         )
     )(masks)
     w2c = camera.w2c

@@ -86,7 +86,9 @@ def distance_transform_l1(
 
 @partial(
     jax.jit,
-    static_argnames=("roi", "minmax_normalize", "use_truncation"),
+    static_argnames=(
+        "roi", "minmax_normalize", "use_truncation", "sdf_scale",
+    ),
 )
 def make_signed_distance_field(
     mask: jax.Array,
@@ -94,6 +96,7 @@ def make_signed_distance_field(
     minmax_normalize: bool = True,
     use_truncation: bool = False,
     truncation_band: float = 0.1,
+    sdf_scale: Optional[float] = None,
 ) -> jax.Array:
     """Signed distance field of a silhouette mask.
 
@@ -104,6 +107,13 @@ def make_signed_distance_field(
         (zeros outside the ROI participate, matching voxel_carver.cc:205-222).
       * truncation (KinectFusion): ``d <= -band -> INVALID_SDF`` else
         ``min(1, d / band)`` (voxel_carver.cc:224-236).
+
+    ``sdf_scale`` (extension beyond the reference -- see
+    config.VoxelCarverOption): when set, pixel distances are multiplied
+    by this world-units-per-pixel factor INSTEAD of minmax
+    normalization, and truncation clamps to ``min(band, d)`` with the
+    band in the same world units, keeping TSDF values metric and
+    comparable across views.
 
     Args:
       mask: uint8[H, W] (255 = foreground) or bool[H, W].
@@ -127,7 +137,11 @@ def make_signed_distance_field(
     in_roi = jnp.zeros((h, w), jnp.bool_).at[y0 : y1 + 1, x0 : x1 + 1].set(True)
     sdf = jnp.where(in_roi, sdf, 0.0)
 
-    if minmax_normalize:
+    if sdf_scale is not None:
+        # metric mode: a fixed world-units-per-pixel scale replaces the
+        # per-image normalization; values stay comparable across views
+        sdf = jnp.where(in_roi, sdf * jnp.float32(sdf_scale), sdf)
+    elif minmax_normalize:
         abs_max = jnp.maximum(jnp.max(sdf), -jnp.min(sdf))
         norm = jnp.where(
             abs_max > np.finfo(np.float32).tiny, 1.0 / abs_max, 1.0
@@ -142,9 +156,15 @@ def make_signed_distance_field(
 
     if use_truncation:
         band = jnp.float32(truncation_band)
-        trunc = jnp.where(
-            -band >= sdf, INVALID_SDF, jnp.minimum(1.0, sdf / band)
-        )
+        if sdf_scale is not None:
+            # metric truncation: clamp, don't renormalize by the band
+            trunc = jnp.where(
+                -band >= sdf, INVALID_SDF, jnp.minimum(band, sdf)
+            )
+        else:
+            trunc = jnp.where(
+                -band >= sdf, INVALID_SDF, jnp.minimum(1.0, sdf / band)
+            )
         sdf = jnp.where(in_roi, trunc, sdf)
 
     return sdf

@@ -68,11 +68,17 @@ def bunny_option(
     tsdf: bool = False,
     truncation_band: float = 0.1,
     interp: str = "bilinear",
+    sdf_scale: "float | None" = None,
 ) -> VoxelCarverOption:
+    """sdf_scale enables metric TSDF fusion (an extension beyond the
+    reference -- see config.VoxelCarverOption): pass the world-units-
+    per-pixel factor (roughly camera_distance / fx) and a
+    truncation_band in world units (e.g. 3 * resolution)."""
     return VoxelCarverOption(
         bb_min=BUNNY_BB_MIN,
         bb_max=BUNNY_BB_MAX,
         resolution=resolution,
+        sdf_scale=sdf_scale,
         update_option=VoxelUpdateOption(
             voxel_update=(
                 VoxelUpdate.WEIGHTED_AVERAGE if tsdf else VoxelUpdate.MAX
@@ -96,10 +102,16 @@ def run_bunny(
     chamfer_gt: bool = True,
     checkpoint: Optional[str] = None,
     resume: bool = False,
+    sdf_scale: Optional[float] = None,
 ) -> dict:
     """The examples.cc bunny pipeline (examples.cc:75-152), batched."""
     cams, masks = load_bunny()
-    option = bunny_option(resolution=resolution, tsdf=tsdf)
+    option = bunny_option(
+        resolution=resolution,
+        tsdf=tsdf,
+        truncation_band=(3 * resolution if sdf_scale else 0.1),
+        sdf_scale=sdf_scale,
+    )
     carver = VoxelCarver(option)
     start_view = 0
     if resume and checkpoint and os.path.exists(checkpoint):
@@ -392,6 +404,9 @@ def run_sweep(
     t0 = time.perf_counter()
     state = do_carve()
     carve_cold_s = time.perf_counter() - t0
+    # the cold state must be freed BEFORE the warm rerun: two live
+    # 1024^3 states (8.6 GB each) exceed one chip's HBM
+    del state
     t0 = time.perf_counter()
     state = do_carve()
     carve_s = time.perf_counter() - t0
@@ -443,6 +458,10 @@ def main(argv=None):
                    help="target ~N^3 grid (overrides --resolution)")
     b.add_argument("--tsdf", action="store_true",
                    help="weighted-average TSDF + truncation")
+    b.add_argument("--sdf-scale", type=float, default=None,
+                   help="metric TSDF: world units per pixel at the "
+                   "object depth (~camera_distance/fx; band becomes "
+                   "3*resolution); beyond-reference extension")
     b.add_argument("--no-artifacts", action="store_true")
     b.add_argument("--checkpoint", default=None)
     b.add_argument("--resume", action="store_true")
@@ -510,6 +529,7 @@ def main(argv=None):
                 write_artifacts=not args.no_artifacts,
                 checkpoint=args.checkpoint,
                 resume=args.resume,
+                sdf_scale=args.sdf_scale,
             )
     elif args.cmd == "turntable":
         with profiler_trace(args.profile):
