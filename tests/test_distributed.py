@@ -61,7 +61,9 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # generous: under a full-suite run the workers share the CPU
+            # with compile-heavy tests and can take several minutes
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()

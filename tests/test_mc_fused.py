@@ -130,8 +130,11 @@ def test_pick_y_parts():
     assert pick_y_parts(128, 128) == 1
     assert pick_y_parts(256, 256) == 4
     assert pick_y_parts(512, 512) == 16
-    assert pick_y_parts(1024, 1024) == 64
-    assert pick_y_parts(2048, 2048) == 64
+    # 1024+ deliberately stops at 32 parts: a finer split's per-step
+    # output buffers cannot afford a capacity retry next to the 8.6 GB
+    # 1024^3 state (measured OOM at 64 parts)
+    assert pick_y_parts(1024, 1024) == 32
+    assert pick_y_parts(2048, 2048) == 32
     # bunny-class unaligned grids stay unsplit
     assert pick_y_parts(53, 54) == 1
     # un-partitionable: odd ny at a size that needs splitting

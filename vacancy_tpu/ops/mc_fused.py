@@ -86,10 +86,15 @@ _INVALID = float(INVALID_SDF)
 _MAX_PART_BYTES = 1 << 20
 # compile-size budget: Mosaic's compile time for the unrolled shift
 # ladder scales with (extended plane bytes) x (ladder passes), so keep
-# the (e, nx) extended sub-plane small even when VMEM could hold more
-# (measured: 256^3 at one 264-row part compiles in ~112 s; four 72-row
-# parts in ~17 s, warm time unchanged)
+# the (e, nx) extended sub-plane small even when VMEM could hold more.
+# Not smaller than this, though: finer partitions multiply the grid
+# step count, and the fixed-capacity output buffers scale with
+# steps x rows -- at 1024^3 a 64-way split cannot afford even one
+# capacity retry next to the 8.6 GB state (measured OOM), while the
+# 32-way split keeps round-2's 4.3 GB output footprint with ~1.8x
+# count headroom per step. Hence the hard cap of 32 parts below.
 _MAX_LADDER_BYTES = 128 << 10
+_MAX_Y_PARTS = 32
 
 
 def pick_y_parts(ny: int, nx: int) -> Optional[int]:
@@ -104,7 +109,7 @@ def pick_y_parts(ny: int, nx: int) -> Optional[int]:
     best = None
     best_e = None
     h = 1
-    while h <= 64:
+    while h <= _MAX_Y_PARTS:
         ny2 = ny // h
         if ny % h or (h > 1 and (ny2 % 8 or ny2 < 8)):
             h *= 2
@@ -823,7 +828,10 @@ def extract_mesh_fused(
             "kernel; use the XLA drivers (extract_mesh engine='xla')"
         )
     ny2 = ny // h
-    rows_e = rows_c = min(ny2 + 2, rows_hint or max(4, ny2 // 8))
+    # capacity floor scales with the sub-plane: a fixed floor of 4 rows
+    # at y_parts=64 would allocate 2x the round-2 output buffers and
+    # OOM a 16 GB chip next to the 1024^3 state
+    rows_e = rows_c = min(ny2 + 2, rows_hint or max(2, ny2 // 8))
     for _ in range(8):
         outs = marching_cubes_fused(
             state, grid,

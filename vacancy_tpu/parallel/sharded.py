@@ -348,7 +348,8 @@ def extract_mesh_fused_sharded(
         )
     ny2 = ny // h
     steps_per_shard = (lz + 2) * h
-    rows_e = rows_c = min(ny2 + 2, rows_hint or max(4, ny2 // 8))
+    # see extract_mesh_fused: the floor scales with the sub-plane
+    rows_e = rows_c = min(ny2 + 2, rows_hint or max(2, ny2 // 8))
     for _ in range(8):
         outs = marching_cubes_fused_sharded(
             state, grid,
