@@ -10,6 +10,7 @@
 
 #include <locale.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -170,6 +171,46 @@ int64_t vacancy_parse_float3_lines(const char* buf, int64_t buflen,
     p = line_end < end ? line_end + 1 : end;
   }
   return row;
+}
+
+// Expands marching-cubes active cubes into triangle faces, resolving
+// each corner's canonical-edge key against the sorted per-axis vertex
+// owner-id streams by binary search. Single pass, no large
+// temporaries -- replaces a multi-pass numpy expansion that dominated
+// large-grid extraction (the numpy path stays as the fallback and the
+// semantic reference: cube-major then slot order, winding via table
+// slot 3t + (2 - j)). starts has n_cubes + 1 entries (exclusive prefix
+// of per-cube triangle counts); faces_out holds starts[n_cubes] * 3
+// int32 ids. Returns 0 on success.
+int64_t vacancy_expand_faces(
+    const int32_t* clin, const int32_t* ccase, int64_t n_cubes,
+    const int64_t* starts, const int32_t* tri_table,
+    const int32_t* edge_axis, const int64_t* edge_off,
+    const int32_t* vlin0, int64_t n0, const int32_t* vlin1, int64_t n1,
+    const int32_t* vlin2, int64_t n2, int32_t* faces_out) {
+  const int32_t* vl[3] = {vlin0, vlin1, vlin2};
+  const int64_t nn[3] = {n0, n1, n2};
+  const int64_t base[3] = {0, n0, n0 + n1};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t c = 0; c < n_cubes; c++) {
+    const int32_t* row = tri_table + int64_t(ccase[c]) * 16;
+    const int64_t cnt = starts[c + 1] - starts[c];
+    int64_t out = starts[c] * 3;
+    for (int64_t t = 0; t < cnt; t++) {
+      for (int j = 0; j < 3; j++) {
+        const int32_t e = row[3 * t + (2 - j)];
+        const int ax = edge_axis[e];
+        const int32_t key = int32_t(int64_t(clin[c]) + edge_off[e]);
+        const int32_t* beg = vl[ax];
+        const int32_t* pos = std::lower_bound(beg, beg + nn[ax], key);
+        faces_out[out + j] = int32_t(base[ax] + (pos - beg));
+      }
+      out += 3;
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -66,6 +66,49 @@ def test_native_parse_float3_matches_loadtxt():
     assert native_parse_float3(buf, len(rows) + 1) is None
 
 
+def test_native_expand_faces_equals_numpy():
+    """The native single-pass MC face expansion must be identical to
+    the numpy reference path on a real fused extraction."""
+    import jax.numpy as jnp
+
+    from vacancy_tpu.grid import GridSpec, VoxelGridState
+    from vacancy_tpu.io.native import available
+    from vacancy_tpu.ops import mc_fused
+
+    if not available():
+        pytest.skip("native library not built")
+    n = 24
+    res = 2.2 / n
+    grid = GridSpec(
+        bb_min=(-1.1, -1.1, -1.1),
+        bb_max=(-1.1 + (n + 0.4) * res,) * 3,
+        resolution=res,
+    )
+    cx = jnp.asarray(grid.axis_centers(0))
+    cy = jnp.asarray(grid.axis_centers(1))
+    cz = jnp.asarray(grid.axis_centers(2))
+    r2 = (cz**2)[:, None, None] + (cy**2)[None, :, None] + (cx**2)[None]
+    sdf = jnp.clip((jnp.sqrt(r2) - 0.8) / 0.1, -1, 1).astype(jnp.float32)
+    state = VoxelGridState(
+        sdf=sdf, update_num=jnp.ones((n, n, n), jnp.int32)
+    )
+    with_native = mc_fused.extract_mesh_fused(state, grid)
+
+    import vacancy_tpu.io.native as nat
+
+    orig = nat.native_expand_faces
+    nat.native_expand_faces = lambda *a, **k: None
+    try:
+        numpy_path = mc_fused.extract_mesh_fused(state, grid)
+    finally:
+        nat.native_expand_faces = orig
+    assert with_native.num_faces > 0
+    np.testing.assert_array_equal(with_native.faces, numpy_path.faces)
+    np.testing.assert_array_equal(
+        with_native.vertices, numpy_path.vertices
+    )
+
+
 def test_native_parse_float3_rejects_malformed_rows():
     """A vertex line with fewer than 3 floats must return short (None at
     the Python boundary) instead of silently consuming tokens from the

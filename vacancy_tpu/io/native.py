@@ -57,6 +57,20 @@ def _load():
                     ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_float),
                 ]
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                lib.vacancy_expand_faces.restype = ctypes.c_int64
+                lib.vacancy_expand_faces.argtypes = [
+                    i32p, i32p, ctypes.c_int64,  # clin, ccase, n_cubes
+                    i64p,  # starts [n_cubes + 1]
+                    i32p,  # tri_table [256 * 16]
+                    i32p,  # edge_axis [12]
+                    i64p,  # edge_off [12]
+                    i32p, ctypes.c_int64,  # vlin0
+                    i32p, ctypes.c_int64,  # vlin1
+                    i32p, ctypes.c_int64,  # vlin2
+                    i32p,  # faces_out [total * 3]
+                ]
                 _LIB = lib
             except (OSError, AttributeError):
                 # AttributeError: a stale .so built before a newer symbol
@@ -115,6 +129,48 @@ def native_parse_float3(buf: bytes, n_rows: int) -> Optional[np.ndarray]:
     if int(parsed) != n_rows:
         return None
     return out
+
+
+def native_expand_faces(
+    clin: np.ndarray,  # i32[n_cubes]
+    ccase: np.ndarray,  # i32[n_cubes]
+    starts: np.ndarray,  # i64[n_cubes + 1] exclusive tri-count prefix
+    tri_table: np.ndarray,  # i32[256, 16]
+    edge_axis: np.ndarray,  # i32[12]
+    edge_off: np.ndarray,  # i64[12] owner linear-id offset per edge
+    vlins,  # three SORTED i32 owner-id streams
+) -> Optional[np.ndarray]:
+    """Native marching-cubes face expansion (see vacancy_native.cc).
+
+    Returns i32[total, 3] faces identical to the numpy expansion, or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    total = int(starts[-1])
+    faces = np.empty((total, 3), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    arrs32 = [np.ascontiguousarray(a, np.int32) for a in
+              (clin, ccase, tri_table, edge_axis, *vlins)]
+    starts = np.ascontiguousarray(starts, np.int64)
+    edge_off = np.ascontiguousarray(edge_off, np.int64)
+    ret = lib.vacancy_expand_faces(
+        arrs32[0].ctypes.data_as(i32p),
+        arrs32[1].ctypes.data_as(i32p),
+        len(clin),
+        starts.ctypes.data_as(i64p),
+        arrs32[2].ctypes.data_as(i32p),
+        arrs32[3].ctypes.data_as(i32p),
+        edge_off.ctypes.data_as(i64p),
+        arrs32[4].ctypes.data_as(i32p), len(arrs32[4]),
+        arrs32[5].ctypes.data_as(i32p), len(arrs32[5]),
+        arrs32[6].ctypes.data_as(i32p), len(arrs32[6]),
+        faces.ctypes.data_as(i32p),
+    )
+    if int(ret) != 0:
+        return None
+    return faces
 
 
 def native_weld(vertices: np.ndarray, faces: np.ndarray) -> Optional[tuple]:

@@ -382,7 +382,10 @@ def extract_mesh_fused_sharded(
             ).reshape(-1, 2)
             need_e, need_c = int(gmax[:, 0].max()), int(gmax[:, 1].max())
         else:
-            counts = np.asarray(outs[8]).reshape(-1, 8)
+            # device ravel first: the tile-padded (b, 1, 8) counts
+            # buffer transfers at 128x its real size otherwise (see
+            # ops/mc_fused.extract_mesh_fused)
+            counts = np.asarray(jnp.ravel(outs[8])).reshape(-1, 8)
             need_e = int(counts[:, :3].max(initial=0))
             need_c = int(counts[:, 3].max(initial=0))
         if need_e <= rows_e * nx and need_c <= rows_c * nx:
