@@ -21,3 +21,18 @@ def test_sweep_single_chip_small():
     assert out["sharded"] is False
     assert "mc_vertices" not in out
     assert out["grid"] == (32, 32, 32)
+
+
+def test_jax_cache_flag_populates_cache(tmp_path):
+    """--jax-cache enables the persistent compilation cache: after one
+    tiny run the directory holds compiled entries."""
+    import os
+
+    from vacancy_tpu.pipeline import main
+
+    cache = str(tmp_path / "jaxcache")
+    main([
+        "turntable", "--n", "32", "--views", "2",
+        "--jax-cache", cache,
+    ])
+    assert os.path.isdir(cache) and len(os.listdir(cache)) > 0

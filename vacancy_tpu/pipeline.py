@@ -496,6 +496,16 @@ def main(argv=None):
             help="force a virtual mesh of N CPU devices (harness "
             "validation without a pod; must run before backend init)",
         )
+    for sp in (b, t, s):
+        sp.add_argument(
+            "--jax-cache", default=None, metavar="DIR",
+            help="persistent XLA/Mosaic compilation cache directory: "
+            "repeat invocations skip the multi-second cold compiles "
+            "(cache is keyed on program + compiler version). Note: on "
+            "a REMOTE-compile rig the service round trips dominate and "
+            "the cache wins little; it pays off where compiles run "
+            "locally",
+        )
 
     args = p.parse_args(argv)
     if getattr(args, "cpu", 0):
@@ -503,6 +513,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(args.cpu))
+    if getattr(args, "jax_cache", None):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        # cache every program; the default 1s threshold skips the many
+        # small host-side jits whose re-compiles still add seconds
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if getattr(args, "coordinator", None) is not None:
         # multi-host process group (DCN): run this same command once per
         # process with its --process-id; the z-sharded grid then spans
