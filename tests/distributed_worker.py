@@ -104,7 +104,14 @@ def main():
         assert mesh is None
 
     # --- sharded MC through the FUSED Pallas kernel across processes:
-    # per-process trimmed stream pieces, host-0 fused assembly ---
+    # per-process trimmed stream pieces, host-0 fused assembly; force a
+    # y-PARTITIONED kernel (h=2) so the multi-process piece path also
+    # covers steps_per_shard = (lz + 2) * h with h > 1 ---
+    from vacancy_tpu.ops import mc_fused
+
+    ny, nx = grid.shape_zyx[1], grid.shape_zyx[2]
+    mc_fused._MAX_PART_BYTES = ny * nx * 4 // 2
+    assert mc_fused.pick_y_parts(ny, nx) == 2
     mesh_f = extract_mesh_sharded(
         state2, grid, dev_mesh, engine="fused",
         piece_dir=os.path.join(tmpdir, "pieces_fused"),

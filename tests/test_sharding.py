@@ -256,3 +256,40 @@ def test_sharded_fused_mc_equals_dense(n_shards, linear_interp):
     )
     np.testing.assert_array_equal(sh.vertices, dense.vertices)
     np.testing.assert_array_equal(sh.faces, dense.faces)
+
+
+@pytest.mark.parametrize("linear_interp", [True, False])
+def test_sharded_fused_mc_y_split_equals_dense(monkeypatch, linear_interp):
+    """Sharded fused MC with y-PARTITIONED sub-planes (h > 1): the
+    per-shard (k, p) step emission must still concatenate to global
+    (z, y, x) order across shards."""
+    from vacancy_tpu.config import INVALID_SDF
+    from vacancy_tpu.ops import mc_fused
+    from vacancy_tpu.parallel import extract_mesh_fused_sharded
+
+    _require_devices(2)
+    rng = np.random.default_rng(13)
+    nz, ny, nx = 12, 16, 20
+    monkeypatch.setattr(mc_fused, "_MAX_PART_BYTES", ny * nx * 4 // 2)
+    assert mc_fused.pick_y_parts(ny, nx) == 2
+    sdf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    sdf[rng.random((nz, ny, nx)) < 0.05] = INVALID_SDF
+    un = (rng.random((nz, ny, nx)) < 0.9).astype(np.int32)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf), update_num=jnp.asarray(un)
+    )
+    dense = extract_mesh(state, grid, linear_interp=linear_interp,
+                         engine="xla")
+    sh = extract_mesh_fused_sharded(
+        state, grid, make_device_mesh(2), linear_interp=linear_interp,
+    )
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)
