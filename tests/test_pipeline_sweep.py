@@ -25,14 +25,25 @@ def test_sweep_single_chip_small():
 
 def test_jax_cache_flag_populates_cache(tmp_path):
     """--jax-cache enables the persistent compilation cache: after one
-    tiny run the directory holds compiled entries."""
+    tiny run the directory holds compiled entries. The process-global
+    jax config is restored afterwards (the cache dir is a pytest tmp
+    path -- leaking it would serialize every later test's compiles
+    into a doomed directory)."""
     import os
 
     from vacancy_tpu.pipeline import main
 
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     cache = str(tmp_path / "jaxcache")
-    main([
-        "turntable", "--n", "32", "--views", "2",
-        "--jax-cache", cache,
-    ])
-    assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    try:
+        main([
+            "turntable", "--n", "32", "--views", "2",
+            "--jax-cache", cache,
+        ])
+        assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min
+        )

@@ -303,7 +303,20 @@ def carve_views_warp_blocked(
     # voxels and double-count update_num -- so snap to the largest
     # divisor of nz at most chunk_nz (always exists: 1)
     if nz % chunk_nz != 0:
-        chunk_nz = max(d for d in range(1, chunk_nz + 1) if nz % d == 0)
+        snapped = max(d for d in range(1, chunk_nz + 1) if nz % d == 0)
+        if snapped < max(8, chunk_nz // 8):
+            # a (near-)prime nz degrades to per-plane dispatches; make
+            # the cliff visible so the caller can pad the grid instead
+            from ..utils import LOGW
+
+            LOGW(
+                "carve_views_warp_blocked: nz=%d has no divisor near "
+                "chunk_nz=%d; snapping to %d planes per chunk (%d "
+                "dispatches). Pad the grid z extent to a composite "
+                "size for full-speed chunking.",
+                nz, chunk_nz, snapped, nz // snapped,
+            )
+        chunk_nz = snapped
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
     sdf, un = state.sdf, state.update_num
     for k in range(nz // chunk_nz):

@@ -783,32 +783,28 @@ def _expand_faces(
     if total == 0:
         return np.zeros((0, 3), np.int32)
 
-    from ..io.native import native_expand_faces
+    from ..io.native import available, native_expand_faces
 
     starts_excl = np.concatenate(
         [[0], np.cumsum(ntri, dtype=np.int64)]
     )
-    off_lin64 = (
-        _EDGE_OFF_XYZ[:, 2].astype(np.int64) * (ny * nx)
-        + _EDGE_OFF_XYZ[:, 1] * nx
-        + _EDGE_OFF_XYZ[:, 0]
-    )
-    faces = native_expand_faces(
-        clin, ccase, starts_excl, TRI_TABLE, EDGE_AXIS, off_lin64,
-        vlin_by_axis,
-    )
-    if faces is not None:
-        return faces
-
-    cube_idx = np.repeat(np.arange(len(ccase), dtype=np.int64), ntri)
-    starts = np.cumsum(ntri) - ntri
-    slot = np.arange(total, dtype=np.int64) - np.repeat(starts, ntri)
-    rows = TRI_TABLE[ccase[cube_idx]]  # [T, 16]
     off_lin = (
         _EDGE_OFF_XYZ[:, 2].astype(np.int64) * (ny * nx)
         + _EDGE_OFF_XYZ[:, 1] * nx
         + _EDGE_OFF_XYZ[:, 0]
     )  # [12]
+    if available():
+        faces = native_expand_faces(
+            clin, ccase, starts_excl, TRI_TABLE, EDGE_AXIS, off_lin,
+            vlin_by_axis,
+        )
+        if faces is not None:
+            return faces
+
+    cube_idx = np.repeat(np.arange(len(ccase), dtype=np.int64), ntri)
+    starts = starts_excl[:-1]
+    slot = np.arange(total, dtype=np.int64) - np.repeat(starts, ntri)
+    rows = TRI_TABLE[ccase[cube_idx]]  # [T, 16]
     base_lin = clin[cube_idx].astype(np.int64)
     faces = np.empty((total, 3), np.int32)
     tt = np.arange(total)

@@ -335,6 +335,14 @@ def extract_mesh_fused_sharded(
     from ..ops.mc_fused import finish_fused_extract, pick_y_parts
 
     multiproc = jax.process_count() > 1
+    if multiproc and piece_dir is None:
+        # fail before the capacity loop dispatches (and possibly
+        # cold-compiles) the sharded kernel -- the precondition is
+        # knowable at entry
+        raise ValueError(
+            "fused sharded extraction with multiple processes needs a "
+            "piece_dir reachable from every host"
+        )
     nz, ny, nx = state.sdf.shape
     n = mesh.shape[AXIS]
     lz = nz // n
@@ -361,16 +369,16 @@ def extract_mesh_fused_sharded(
         if multiproc:
             from jax.experimental import multihost_utils
 
-            lcounts = _local_blocks(outs[8], steps_per_shard)
+            lcounts = _local_count_blocks(outs[8], steps_per_shard)
             local_need = np.array(
                 [
                     max(
-                        (int(c.reshape(-1, 8)[:, :3].max())
+                        (int(c[:, :3].max())
                          for c in lcounts.values()),
                         default=0,
                     ),
                     max(
-                        (int(c.reshape(-1, 8)[:, 3].max())
+                        (int(c[:, 3].max())
                          for c in lcounts.values()),
                         default=0,
                     ),
@@ -403,43 +411,75 @@ def extract_mesh_fused_sharded(
     return finish_fused_extract(outs, counts, ny, nx, grid)
 
 
-# stream index -> counts lane (x/y/z edge streams come in (pos, lin)
-# pairs; streams 6/7 are the active-cube (lin, case) pair)
-_FUSED_STREAM_LANE = (0, 0, 1, 1, 2, 2, 3, 3)
+def _local_device_blocks(arr: jax.Array, block_len: int) -> dict:
+    """Like _local_blocks but keeps each shard's block as a DEVICE
+    array (no host transfer)."""
+    out = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        out[start // block_len] = s.data
+    return out
+
+
+def _local_count_blocks(counts: jax.Array, block_len: int) -> dict:
+    """This process's per-shard counts as host (steps, 8) arrays.
+
+    Ravels each block ON DEVICE before the transfer: the (steps, 1, 8)
+    layout tile-pads its minor dims to (8, 128), so a direct
+    np.asarray ships 128x the real bytes (see
+    ops/mc_fused.extract_mesh_fused)."""
+    return {
+        k: np.asarray(jnp.ravel(d)).reshape(-1, 8)
+        for k, d in _local_device_blocks(counts, block_len).items()
+    }
 
 
 def _emit_fused_pieces_and_assemble(
     outs, steps_per_shard, n, ny, nx, grid, piece_dir
 ) -> Optional[TriMesh]:
-    """Multi-process finish for the fused kernel: write this process's
-    shards' per-step stream blocks trimmed to their exact counts,
-    barrier, assemble on process 0 (others return None)."""
+    """Multi-process finish for the fused kernel: each process packs
+    its shards' streams ON DEVICE (the same _pack_all gather the
+    single-process path uses -- one transfer of exactly the real data
+    instead of the full capacity buffers), writes them as a piece
+    file, barriers, and process 0 assembles (others return None).
+    Piece files hold the packed i32 buffers; position streams are f32
+    bit patterns (viewed back at assembly)."""
     import os
 
     from jax.experimental import multihost_utils
 
-    from ..ops.mc_fused import assemble_fused_streams
+    from ..ops.mc_fused import (
+        _bucket_cap,
+        _pack_all,
+        assemble_fused_streams,
+    )
 
-    if piece_dir is None:
-        raise ValueError(
-            "fused sharded extraction with multiple processes needs a "
-            "piece_dir reachable from every host"
-        )
     os.makedirs(piece_dir, exist_ok=True)
-    lcounts = _local_blocks(outs[8], steps_per_shard)
+    lcounts = _local_count_blocks(outs[8], steps_per_shard)
+    streams_dev = [
+        _local_device_blocks(outs[i], steps_per_shard) for i in range(8)
+    ]
+    counts_dev = _local_device_blocks(outs[8], steps_per_shard)
     payload = {}
-    for i in range(8):
-        blocks = _local_blocks(outs[i], steps_per_shard)
-        lane = _FUSED_STREAM_LANE[i]
-        for k, a in blocks.items():
-            c = lcounts[k].reshape(-1, 8)[:, lane]
-            steps = a.reshape(a.shape[0], -1)
-            trimmed = [steps[s, : c[s]] for s in range(len(c))]
-            payload[f"k{k}_s{i}"] = (
-                np.concatenate(trimmed)
-                if trimmed
-                else np.zeros((0,), a.dtype)
+    for k, cnts in lcounts.items():
+        tots = [int(cnts[:, a].sum()) for a in range(4)]
+        caps = tuple(_bucket_cap(t) for t in tots)
+        buf = np.asarray(
+            _pack_all(
+                tuple(streams_dev[i][k] for i in range(8)),
+                counts_dev[k].reshape(-1, 8),
+                caps,
             )
+        )
+        at = 0
+        for a in range(3):
+            payload[f"k{k}_s{2 * a}"] = buf[at : at + tots[a]]
+            at += caps[a]
+            payload[f"k{k}_s{2 * a + 1}"] = buf[at : at + tots[a]]
+            at += caps[a]
+        payload[f"k{k}_s6"] = buf[at : at + tots[3]]
+        at += caps[3]
+        payload[f"k{k}_s7"] = buf[at : at + tots[3]]
     pid = jax.process_index()
     np.savez(
         os.path.join(piece_dir, f"mc_fused_pieces_proc{pid}.npz"),
@@ -459,7 +499,9 @@ def _emit_fused_pieces_and_assemble(
         np.concatenate([pieces[f"k{k}_s{i}"] for k in range(n)])
         for i in range(8)
     ]
-    vpos_parts = [streams[0], streams[2], streams[4]]
+    # even-indexed edge streams are f32 bit patterns from the pack
+    vpos_parts = [s.view(np.float32) for s in
+                  (streams[0], streams[2], streams[4])]
     vlin_parts = [s.astype(np.int64) for s in (streams[1], streams[3],
                                                streams[5])]
     return assemble_fused_streams(
@@ -770,3 +812,12 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # prime the cross-process collective context (Gloo on CPU, ICI/DCN
+    # cliques on TPU) NOW, while every process is aligned from the init
+    # rendezvous: the first collective pays a context setup with a hard
+    # ~30 s peer timeout, and deferring it to the first real fusion or
+    # halo exchange lets per-process compile-time skew blow that window
+    # (observed on a loaded single-core CPU host)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
