@@ -179,3 +179,42 @@ def test_fused_fast_divide_close_to_precise():
     # voxels; it must stay rare
     frac = np.mean(np.asarray(a.update_num) != np.asarray(b.update_num))
     assert frac < 1e-3, frac
+
+
+def test_view_chunked_fold_equals_single_batch(monkeypatch):
+    """When the image stack exceeds the VMEM budget the dispatcher
+    folds the fused kernel over view chunks. The fold is mathematically
+    the single batch; the compiler may fuse arithmetic differently
+    across batch shapes, so the gate is last-ulp tolerance (and exact
+    chunk coverage)."""
+    import vacancy_tpu.ops.fusion_warp as fw
+    import vacancy_tpu.ops.warp_fused as wf
+
+    grid, state, w2c, pp, fl, imgs = _setup(n_views=5)
+    opt = VoxelUpdateOption()
+    ref = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    calls = []
+    orig = wf.carve_views_warp_fused
+
+    def fused_interp(st, grid, w2c_, pp_, fl_, imgs_, opt, linear):
+        calls.append(int(imgs_.shape[0]))
+        return orig(
+            st, grid, w2c_, pp_, fl_, imgs_, opt=opt, linear=linear,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    monkeypatch.setattr(fw, "_fused_view_chunk", lambda *a: 2)
+    monkeypatch.setattr(wf, "carve_views_warp_fused", fused_interp)
+    out = carve_views_warp(state, grid, w2c, pp, fl, imgs, opt=opt)
+    assert calls == [2, 2, 1], calls
+    np.testing.assert_allclose(
+        np.asarray(ref.sdf), np.asarray(out.sdf), atol=1e-5, rtol=1e-5
+    )
+    frac = np.mean(
+        np.asarray(ref.update_num) != np.asarray(out.update_num)
+    )
+    assert frac < 1e-3, frac

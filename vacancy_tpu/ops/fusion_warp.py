@@ -118,29 +118,53 @@ def _warp_dist_one_view(
     return dist, jnp.swapaxes(skip_t, 1, 2), jnp.swapaxes(outside, 1, 2)
 
 
-def _use_fused_kernel(
+# the image stack stays resident in VMEM across every grid step; cap
+# its footprint and fold larger batches in sequential view chunks
+_IMG_VMEM_BYTES = 64 * (1 << 20)
+
+
+def _fused_view_chunk(
     ny: int, nx: int, sdf_images: Optional[jax.Array] = None
-) -> bool:
-    """The single-kernel engine (ops/warp_fused.py) needs a TPU backend,
-    lane-aligned plane dims, and an x-partitionable working plane;
-    2.4x the two-pass engine when it applies, bit-identical output.
-    Wide planes (1024^2+) run x-partitioned -- the kernel splits each
-    plane into VMEM-sized (ny, nxp) slices with zero redundant work, so
-    there is no plane-size cap anymore. The resident image stack is
-    capped at 64 MB of VMEM (the stack stays resident across all grid
-    steps); larger view batches fall back to the two-pass scan."""
+) -> Optional[int]:
+    """Views per fused-kernel invocation, or None if the single-kernel
+    engine (ops/warp_fused.py) cannot run at all.
+
+    The engine needs a TPU backend and an x-partitionable lane-aligned
+    working plane; 2.4x the two-pass engine when it applies,
+    bit-identical output. Wide planes (1024^2+) run x-partitioned --
+    the kernel splits each plane into VMEM-sized (ny, nxp) slices with
+    zero redundant work, so there is no plane-size cap. View batches
+    whose image stack exceeds the VMEM budget are folded in SEQUENTIAL
+    CHUNKS of the returned size -- per-view fusion is a left fold over
+    the state, so the chunked fold is mathematically the single batch;
+    the compiler may fuse arithmetic differently across batch shapes,
+    so agreement is to the last ulp rather than bitwise (update
+    decisions at boundaries can flip on isolated voxels; the mesh-level
+    gates are unaffected)."""
     if jax.default_backend() != "tpu":
-        return False
+        return None
     from .warp_fused import _pick_x_part
 
     if _pick_x_part(ny, nx) is None:
+        return None
+    if sdf_images is None:
+        return 1 << 30
+    v, h, w = sdf_images.shape
+    wpad = -(-w // 128) * 128
+    per_view = h * wpad * 4
+    if per_view > _IMG_VMEM_BYTES:
+        return None  # a single view doesn't fit: two-pass scan
+    return max(1, _IMG_VMEM_BYTES // per_view)
+
+
+def _use_fused_kernel(
+    ny: int, nx: int, sdf_images: Optional[jax.Array] = None
+) -> bool:
+    """True when the whole batch fits one fused-kernel invocation."""
+    chunk = _fused_view_chunk(ny, nx, sdf_images)
+    if chunk is None:
         return False
-    if sdf_images is not None:
-        v, h, w = sdf_images.shape
-        wpad = -(-w // 128) * 128
-        if v * h * wpad * 4 > 64 * (1 << 20):
-            return False
-    return True
+    return sdf_images is None or sdf_images.shape[0] <= chunk
 
 
 @partial(jax.jit, static_argnames=("grid", "opt", "linear"))
@@ -168,13 +192,22 @@ def carve_views_warp(
         sdf_images = sdf_images[None]
     v_count = sdf_images.shape[0]
 
-    if _use_fused_kernel(*state.sdf.shape[1:], sdf_images):
+    chunk = _fused_view_chunk(*state.sdf.shape[1:], sdf_images)
+    if chunk is not None:
         from .warp_fused import carve_views_warp_fused
 
-        return carve_views_warp_fused(
-            state, grid, w2c, principal_point, focal_length, sdf_images,
-            opt=opt, linear=linear,
-        )
+        # fold in view chunks when the image stack exceeds the VMEM
+        # budget; a left fold over chunks is bit-identical to one batch
+        st = state
+        for i in range(0, v_count, chunk):
+            st = carve_views_warp_fused(
+                st, grid, w2c[i : i + chunk],
+                principal_point[i : i + chunk],
+                focal_length[i : i + chunk],
+                sdf_images[i : i + chunk],
+                opt=opt, linear=linear,
+            )
+        return st
 
     cx_ = jnp.asarray(grid.axis_centers(0))
     cy_ = jnp.asarray(grid.axis_centers(1))
@@ -236,13 +269,17 @@ def _carve_chunk(
     )
     cz = jax.lax.dynamic_slice(cz_full, (z_lo,), (chunk_nz,))
 
-    if _use_fused_kernel(ny, nx, sdf_images):
+    vchunk = _fused_view_chunk(ny, nx, sdf_images)
+    if vchunk is not None:
         from .warp_fused import warp_fuse_planes
 
-        s, u = warp_fuse_planes(
-            s, u, cx_, cy_, cz, w2c, principal_point, focal_length,
-            sdf_images, opt, linear,
-        )
+        for i in range(0, sdf_images.shape[0], vchunk):
+            s, u = warp_fuse_planes(
+                s, u, cx_, cy_, cz, w2c[i : i + vchunk],
+                principal_point[i : i + vchunk],
+                focal_length[i : i + vchunk],
+                sdf_images[i : i + vchunk], opt, linear,
+            )
         sdf = jax.lax.dynamic_update_slice(sdf, s, (z_lo, 0, 0))
         update_num = jax.lax.dynamic_update_slice(
             update_num, u, (z_lo, 0, 0)

@@ -746,15 +746,23 @@ def carve_views_warp_sharded(
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
 
     def local_fn(sdf, un, cz, w2c_, pp_, fl_, imgs_, maxs_):
-        from ..ops.fusion_warp import _use_fused_kernel
+        from ..ops.fusion_warp import _fused_view_chunk
 
-        if _use_fused_kernel(*sdf.shape[1:], imgs_):
-            # single-kernel engine per shard (bit-identical, ~2.4x)
+        vchunk = _fused_view_chunk(*sdf.shape[1:], imgs_)
+        if vchunk is not None:
+            # single-kernel engine per shard (bit-identical, ~2.4x);
+            # over-VMEM view batches fold in chunks (left fold ==
+            # one batch)
             from ..ops.warp_fused import warp_fuse_planes
 
-            return warp_fuse_planes(
-                sdf, un, cx, cy, cz, w2c_, pp_, fl_, imgs_, opt, linear
-            )
+            s_, u_ = sdf, un
+            for i in range(0, imgs_.shape[0], vchunk):
+                s_, u_ = warp_fuse_planes(
+                    s_, u_, cx, cy, cz, w2c_[i : i + vchunk],
+                    pp_[i : i + vchunk], fl_[i : i + vchunk],
+                    imgs_[i : i + vchunk], opt, linear,
+                )
+            return s_, u_
 
         def body(carry, xs):
             s, u = carry
