@@ -1,0 +1,125 @@
+"""Orthographic warp fusion (ops/fusion_warp.carve_views_warp_ortho)
+vs the exact engine: an affine projection rides the two-pass warp with
+a synthetic unit divisor plus a separately evaluated behind-camera
+mask. Bounds mirror the pinhole warp suite (test_fusion_warp.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vacancy_tpu.camera import OrthoCamera
+from vacancy_tpu.config import VoxelUpdate, VoxelUpdateOption
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.fusion import carve_views
+from vacancy_tpu.ops.fusion_warp import carve_views_warp_ortho
+from vacancy_tpu.ops.sdf2d import make_signed_distance_field
+
+
+def _rot(ax, ang):
+    c, s = np.cos(ang), np.sin(ang)
+    m = np.eye(4)
+    if ax == "z":
+        m[:2, :2] = [[c, -s], [s, c]]
+    else:  # x
+        m[1:3, 1:3] = [[c, -s], [s, c]]
+    return m
+
+
+def _setup(n_views=3, zmin=0.5):
+    rng = np.random.default_rng(21)
+    grid = GridSpec(
+        bb_min=(2.0, 3.0, zmin),
+        bb_max=(28.1, 19.1, zmin + 8.1),
+        resolution=1.0,
+    )
+    h, w = 24, 32
+    cams = []
+    for i in range(n_views):
+        # small rotations keep image v coupled to world y (the warp
+        # engine's structural assumption), nonzero translation in z
+        c2w = _rot("z", 0.12 * i) @ _rot("x", 0.08 * i)
+        c2w[:3, 3] = [0.4 * i, -0.3 * i, -2.0 * i]
+        cams.append(OrthoCamera.create(w, h, c2w=c2w))
+    yy, xx = np.mgrid[0:h, 0:w]
+    masks = np.stack(
+        [
+            (((xx - 18) ** 2 + (yy - 12) ** 2) < (7 + i) ** 2).astype(
+                np.uint8
+            )
+            * 255
+            for i in range(n_views)
+        ]
+    )
+    sdf_imgs = jax.vmap(lambda m: make_signed_distance_field(m))(
+        jnp.asarray(masks)
+    )
+    w2c = jnp.stack([c.w2c for c in cams])
+    return grid, w2c, sdf_imgs, h, w
+
+
+@pytest.mark.parametrize(
+    "update", [VoxelUpdate.MAX, VoxelUpdate.WEIGHTED_AVERAGE]
+)
+def test_warp_ortho_close_to_exact(update):
+    grid, w2c, sdf_imgs, h, w = _setup()
+    opt = VoxelUpdateOption(voxel_update=update)
+    zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, zero2, zero2, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt, projection="ortho",
+    )
+    warp = carve_views_warp_ortho(
+        VoxelGridState.create(grid), grid, w2c, sdf_imgs, opt
+    )
+    e_un = np.asarray(exact.update_num)
+    w_un = np.asarray(warp.update_num)
+    np.testing.assert_array_equal(e_un >= 1, w_un >= 1)
+    touched = e_un >= 1
+    err = np.abs(
+        np.asarray(exact.sdf)[touched] - np.asarray(warp.sdf)[touched]
+    )
+    assert np.quantile(err, 0.99) < 0.05, np.quantile(err, [0.5, 0.99])
+    assert err.max() < 0.25
+
+
+def test_warp_ortho_behind_camera_skipped():
+    """Voxels with camera z < 0 must be skipped exactly as the exact
+    engine skips them (the synthetic homography alone cannot see
+    this; the separate affine z mask must)."""
+    grid, w2c, sdf_imgs, h, w = _setup(n_views=1, zmin=-4.5)
+    opt = VoxelUpdateOption()
+    zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, zero2, zero2, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt, projection="ortho",
+    )
+    warp = carve_views_warp_ortho(
+        VoxelGridState.create(grid), grid, w2c, sdf_imgs, opt
+    )
+    e_un = np.asarray(exact.update_num)
+    w_un = np.asarray(warp.update_num)
+    assert (e_un == 0).any() and (e_un >= 1).any()  # both regions real
+    np.testing.assert_array_equal(e_un >= 1, w_un >= 1)
+
+
+def test_carver_warp_engine_accepts_ortho():
+    """VoxelCarver.carve_batch(engine='warp') now routes orthographic
+    cameras through the ortho warp path instead of raising."""
+    from vacancy_tpu.carver import VoxelCarver
+    from vacancy_tpu.config import VoxelCarverOption
+
+    rng = np.random.default_rng(5)
+    h, w = 24, 32
+    cam = OrthoCamera.create(w, h)
+    mask = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
+    carver = VoxelCarver(
+        VoxelCarverOption(
+            bb_min=(2.0, 3.0, 0.5), bb_max=(28.1, 19.1, 8.6),
+            resolution=1.0,
+        )
+    )
+    assert carver.init()
+    carver.carve_batch([cam], mask[None], engine="warp")
+    assert int(np.asarray(carver.state.update_num).max()) >= 1

@@ -200,15 +200,13 @@ class VoxelCarver:
             return np.asarray(sdf_images)
         if engine != "warp":
             raise ValueError(f"unknown engine {engine!r}")
-        if not hasattr(camera, "principal_point"):
-            raise ValueError(
-                "engine='warp' supports pinhole cameras only; use "
-                "engine='exact' for orthographic carving"
-            )
         import jax
 
         from .config import SdfInterpolation
-        from .ops.fusion_warp import carve_views_warp
+        from .ops.fusion_warp import (
+            carve_views_warp,
+            carve_views_warp_ortho,
+        )
         from .ops.sdf2d import make_signed_distance_field
 
         masks = jnp.asarray(silhouettes)
@@ -227,16 +225,29 @@ class VoxelCarver:
             from .utils.debug import assert_finite
 
             assert_finite("carve_batch: 2D SDF images", sdf_images)
-        self._state = carve_views_warp(
-            self._state,
-            self._grid,
-            camera.w2c,
-            camera.principal_point,
-            camera.focal_length,
-            sdf_images,
-            opt=opt,
-            linear=opt.sdf_interp == SdfInterpolation.BILINEAR,
-        )
+        linear = opt.sdf_interp == SdfInterpolation.BILINEAR
+        if hasattr(camera, "principal_point"):
+            self._state = carve_views_warp(
+                self._state,
+                self._grid,
+                camera.w2c,
+                camera.principal_point,
+                camera.focal_length,
+                sdf_images,
+                opt=opt,
+                linear=linear,
+            )
+        else:
+            # orthographic cameras ride the affine special case of the
+            # warp engine (ops/fusion_warp.carve_views_warp_ortho)
+            self._state = carve_views_warp_ortho(
+                self._state,
+                self._grid,
+                camera.w2c,
+                sdf_images,
+                opt=opt,
+                linear=linear,
+            )
         if debug:
             assert_finite("carve_batch: fusion state sdf", self._state.sdf)
         return np.asarray(sdf_images)
