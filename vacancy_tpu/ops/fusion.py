@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (
-    INVALID_SDF,
     SdfInterpolation,
     UpdateOutsideImage,
     VoxelUpdate,

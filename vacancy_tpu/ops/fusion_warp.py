@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (
-    INVALID_SDF,
     UpdateOutsideImage,
     VoxelUpdateOption,
 )

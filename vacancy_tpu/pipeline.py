@@ -24,7 +24,6 @@ from .carver import VoxelCarver
 from .checkpoint import load_state, save_state
 from .config import (
     SdfInterpolation,
-    UpdateOutsideImage,
     VoxelCarverOption,
     VoxelUpdate,
     VoxelUpdateOption,
@@ -207,7 +206,6 @@ def run_turntable(
     import jax
 
     from .synthetic import blob_spheres, render_silhouettes, turntable_cameras
-    from .ops.fusion import carve_masks
     from .ops.marching_cubes import extract_mesh
 
     centers, radii = blob_spheres(seed=3)
