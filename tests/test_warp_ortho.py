@@ -123,3 +123,58 @@ def test_carver_warp_engine_accepts_ortho():
     assert carver.init()
     carver.carve_batch([cam], mask[None], engine="warp")
     assert int(np.asarray(carver.state.update_num).max()) >= 1
+
+
+def test_fused_kernel_ortho_equals_scan():
+    """The single-kernel engine's ortho mode (synthetic homography +
+    real-z behind mask in extra SMEM coefficients) must match the
+    two-pass ortho scan exactly -- including the behind-camera skip
+    (grid spans z < 0)."""
+    from vacancy_tpu.grid import VoxelGridState as VGS
+    from vacancy_tpu.ops.warp_fused import warp_fuse_planes
+
+    rng = np.random.default_rng(31)
+    nz, ny, nx, v = 6, 128, 128, 3
+    res = 0.25
+    grid = GridSpec(
+        bb_min=(-16.0, -16.0, -0.7),
+        bb_max=(
+            -16.0 + (nx + 0.3) * res,
+            -16.0 + (ny + 0.3) * res,
+            -0.7 + (nz + 0.3) * res,
+        ),
+        resolution=res,
+    )
+    assert grid.shape_zyx == (nz, ny, nx)
+    h, w = 40, 56
+    w2cs = []
+    for i in range(v):
+        c2w = _rot("z", 0.1 * i) @ _rot("x", 0.06 * i)
+        c2w[:3, 3] = [24.0 + i, 16.0 - i, -1.0 * i]
+        w2cs.append(OrthoCamera.create(w, h, c2w=c2w).w2c)
+    w2c = jnp.stack(w2cs)
+    imgs = jnp.asarray(rng.normal(size=(v, h, w)).astype(np.float32))
+    opt = VoxelUpdateOption()
+
+    ref = carve_views_warp_ortho(
+        VGS.create(grid), grid, w2c, imgs, opt
+    )
+
+    synth = w2c.at[:, 2, :].set(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    )
+    state = VGS.create(grid)
+    sdf, un = warp_fuse_planes(
+        state.sdf, state.update_num,
+        jnp.asarray(grid.axis_centers(0)),
+        jnp.asarray(grid.axis_centers(1)),
+        jnp.asarray(grid.axis_centers(2)),
+        synth, jnp.zeros((v, 2), jnp.float32),
+        jnp.ones((v, 2), jnp.float32), imgs, opt, True,
+        interpret=jax.default_backend() != "tpu",
+        ortho_rows=w2c[:, 2, :],
+    )
+    np.testing.assert_array_equal(np.asarray(ref.sdf), np.asarray(sdf))
+    np.testing.assert_array_equal(
+        np.asarray(ref.update_num), np.asarray(un)
+    )

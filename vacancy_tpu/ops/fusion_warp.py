@@ -256,12 +256,15 @@ def carve_views_warp_ortho(
     evaluates exactly u = x_cam, v = y_cam (camera.cc:196-212). The one
     thing the synthetic homography loses is the behind-camera test
     (S < 0 never fires), so the true camera z is evaluated separately
-    -- it is affine in the voxel index, one broadcast expression per
-    view. Measured 105x the exact engine's per-voxel 2D gather on one
-    v5e (2.28 vs 0.022 Gfusions/s at 256^3 x 8 views); the reference's
-    ortho carving semantics otherwise match the exact engine (bounded
-    by the same warp approximation as the pinhole path,
-    tests/test_warp_ortho.py). Shares the pinhole engine's
+    -- it is affine in the voxel index: the single-kernel VMEM engine
+    carries each view's real z row in four extra SMEM coefficients, and
+    the two-pass fallback evaluates it as one broadcast expression per
+    view. Measured on one v5e: 22.2 Gfusions/s at 512^3 x 24 views
+    through the fused kernel (~1000x the exact engine's per-voxel 2D
+    gather, 0.022 G/s); the reference's ortho carving semantics
+    otherwise match the exact engine (bounded by the same warp
+    approximation as the pinhole path, tests/test_warp_ortho.py).
+    Shares the pinhole engine's
     structural assumption that the image v axis couples to world y
     (w2c[1,1] != 0) -- the vertical-pass inversion divides by it."""
     if w2c.ndim == 2:
@@ -281,6 +284,24 @@ def carve_views_warp_ortho(
     w2c_synth = w2c.at[:, 2, :].set(synth_row)
     zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
     one2 = jnp.ones((w2c.shape[0], 2), jnp.float32)
+
+    vchunk = _fused_view_chunk(*state.sdf.shape[1:], sdf_images)
+    if vchunk is not None:
+        # single-kernel VMEM engine with the synthetic homography; the
+        # real camera-z row rides four extra SMEM coefficients for the
+        # behind mask (ops/warp_fused.py)
+        from .warp_fused import warp_fuse_planes
+
+        z_rows = w2c[:, 2, :]  # f32[V, 4]
+        s_, u_ = state.sdf, state.update_num
+        for i in range(0, sdf_images.shape[0], vchunk):
+            sl = slice(i, i + vchunk)
+            s_, u_ = warp_fuse_planes(
+                s_, u_, cx_, cy_, cz_, w2c_synth[sl], zero2[sl],
+                one2[sl], sdf_images[sl], opt, linear,
+                ortho_rows=z_rows[sl],
+            )
+        return VoxelGridState(sdf=s_, update_num=u_)
 
     def body(carry, xs):
         sdf, un = carry

@@ -126,10 +126,14 @@ def _interp_inline(tab: jax.Array, pos: jax.Array, width: int,
 def _warp_fused_kernel(
     nz: int, ny: int, nxp: int, h: int, w: int, hpad: int,
     v_count: int, opt: VoxelUpdateOption, linear: bool, precise: bool,
+    ortho: bool = False,
 ):
     def kernel(
         cz_ref,  # SMEM f32[1, nz]
         coef_ref,  # SMEM f32[v, 16]: R row-major 9, t 3, fx fy cx cy
+        # (ortho: f32[v, 20], + the REAL camera-z row r20 r21 r22 t2 --
+        # the synthetic homography's divisor is identically 1, so the
+        # behind-camera mask needs the true z separately)
         max_ref,  # SMEM f32[1, v]: per-image max sdf
         sdf_ref,  # VMEM f32[1, ny, nxp] state plane x-slice
         un_ref,  # VMEM i32[1, ny, nxp]
@@ -212,7 +216,13 @@ def _warp_fused_kernel(
             )
             dist = _interp_inline(inter_t, v_pos, h, linear)  # (nxp, ny)
 
-            behind = s_ < 0
+            if ortho:
+                rz0, rz1, rz2, rt = c(16), c(17), c(18), c(19)
+                behind = (
+                    rz0 * x_col + rz1 * y_row + rz2 * czk + rt
+                ) < 0
+            else:
+                behind = s_ < 0
             bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
             outside = (
                 (u_star < 0) | (v_star < 0)
@@ -250,11 +260,15 @@ def warp_fuse_planes(
     interpret: bool = False,
     precise: bool = True,
     x_part: "int | None" = None,
+    ortho_rows: "jax.Array | None" = None,  # f32[V, 4] real z rows
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
     Requires NX, NY multiples of 128; planes wider than the VMEM budget
     are x-partitioned (x_part overrides the auto pick, for tests).
+    With ortho_rows the caller passes the SYNTHETIC orthographic
+    homography (third row (0,0,0,1), unit focal, zero principal point)
+    plus each view's real camera-z row for the behind mask.
     Returns (sdf, un)."""
     v_count, h, w = sdf_images.shape
     nz, ny, nx = sdf.shape
@@ -267,20 +281,23 @@ def warp_fuse_planes(
     imgs = jnp.maximum(sdf_images, _SENTINEL_CLAMP)
     if wpad != w:
         imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, wpad - w)))
+    ortho = ortho_rows is not None
     coef = jnp.concatenate(
         [
             w2c[:, :3, :3].reshape(v_count, 9),
             w2c[:, :3, 3],
             focal_length[:, :1], focal_length[:, 1:2],
             principal_point[:, :1], principal_point[:, 1:2],
-        ],
+        ]
+        + ([ortho_rows] if ortho else []),
         axis=1,
-    ).astype(jnp.float32)  # [V, 16]
+    ).astype(jnp.float32)  # [V, 16] (+4 ortho)
     max_sdfs = jnp.max(sdf_images, axis=(1, 2)).reshape(1, v_count)
     cz = cz.reshape(1, nz)
 
     kernel = _warp_fused_kernel(
-        nz, ny, nxp, h, w, hpad, v_count, opt, linear, precise
+        nz, ny, nxp, h, w, hpad, v_count, opt, linear, precise,
+        ortho=ortho,
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
         (1, ny, nxp), lambda k, xp: (k, 0, xp), memory_space=pltpu.VMEM
@@ -294,7 +311,7 @@ def warp_fuse_planes(
         grid=(nz, n_xp),
         in_specs=[
             smem((1, nz)),
-            smem((v_count, 16)),
+            smem((v_count, 20 if ortho else 16)),
             smem((1, v_count)),
             plane(jnp.float32),
             plane(jnp.int32),
