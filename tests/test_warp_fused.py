@@ -190,7 +190,10 @@ def test_view_chunked_fold_equals_single_batch(monkeypatch):
     import vacancy_tpu.ops.fusion_warp as fw
     import vacancy_tpu.ops.warp_fused as wf
 
-    grid, state, w2c, pp, fl, imgs = _setup(n_views=5)
+    # a shape no other test traces carve_views_warp with: the patched
+    # dispatch only runs at TRACE time, so a cached executable for the
+    # same (shapes, statics) would bypass the monkeypatches entirely
+    grid, state, w2c, pp, fl, imgs = _setup(nz=7, n_views=5)
     opt = VoxelUpdateOption()
     ref = carve_views_warp_fused(
         state, grid, w2c, pp, fl, imgs, opt=opt,

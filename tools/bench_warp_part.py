@@ -107,8 +107,8 @@ def main():
         # number (dispatch would now choose the fused kernel)
         import vacancy_tpu.ops.fusion_warp as fw
 
-        orig = fw._use_fused_kernel
-        fw._use_fused_kernel = lambda *a, **k: False
+        orig = fw._fused_view_chunk
+        fw._fused_view_chunk = lambda *a, **k: None
         try:
             dt = timeit(
                 lambda s: carve_views_warp(
@@ -116,7 +116,7 @@ def main():
                 state,
             )
         finally:
-            fw._use_fused_kernel = orig
+            fw._fused_view_chunk = orig
         print(f"1024^2 x {nz}z x {v}v two-pass scan: {dt*1e3:.1f} ms "
               f"= {fus/dt/1e9:.2f} Gfus/s")
 

@@ -196,7 +196,8 @@ def carve_views_warp(
         from .warp_fused import carve_views_warp_fused
 
         # fold in view chunks when the image stack exceeds the VMEM
-        # budget; a left fold over chunks is bit-identical to one batch
+        # budget; mathematically the single batch, agreement to the
+        # last ulp (see _fused_view_chunk)
         st = state
         for i in range(0, v_count, chunk):
             st = carve_views_warp_fused(

@@ -406,7 +406,7 @@ def extract_mesh_fused_sharded(
         )
     if multiproc:
         return _emit_fused_pieces_and_assemble(
-            outs, steps_per_shard, n, ny, nx, grid, piece_dir
+            outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir
         )
     return finish_fused_extract(outs, counts, ny, nx, grid)
 
@@ -435,7 +435,7 @@ def _local_count_blocks(counts: jax.Array, block_len: int) -> dict:
 
 
 def _emit_fused_pieces_and_assemble(
-    outs, steps_per_shard, n, ny, nx, grid, piece_dir
+    outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir
 ) -> Optional[TriMesh]:
     """Multi-process finish for the fused kernel: each process packs
     its shards' streams ON DEVICE (the same _pack_all gather the
@@ -455,7 +455,6 @@ def _emit_fused_pieces_and_assemble(
     )
 
     os.makedirs(piece_dir, exist_ok=True)
-    lcounts = _local_count_blocks(outs[8], steps_per_shard)
     streams_dev = [
         _local_device_blocks(outs[i], steps_per_shard) for i in range(8)
     ]
@@ -511,12 +510,12 @@ def _emit_fused_pieces_and_assemble(
 
 def _local_blocks(arr: jax.Array, block_len: int) -> dict:
     """Map global shard index k -> this process's block of a stacked
-    per-shard output (shape [n * block_len] or [n, ...] on axis 0)."""
-    out = {}
-    for s in arr.addressable_shards:
-        start = s.index[0].start or 0
-        out[start // block_len] = np.asarray(s.data)
-    return out
+    per-shard output (shape [n * block_len] or [n, ...] on axis 0),
+    transferred to host."""
+    return {
+        k: np.asarray(d)
+        for k, d in _local_device_blocks(arr, block_len).items()
+    }
 
 
 def extract_mesh_sharded(
@@ -751,8 +750,9 @@ def carve_views_warp_sharded(
         vchunk = _fused_view_chunk(*sdf.shape[1:], imgs_)
         if vchunk is not None:
             # single-kernel engine per shard (bit-identical, ~2.4x);
-            # over-VMEM view batches fold in chunks (left fold ==
-            # one batch)
+            # over-VMEM view batches fold in chunks (mathematically
+            # one batch, last-ulp agreement -- see
+            # ops.fusion_warp._fused_view_chunk)
             from ..ops.warp_fused import warp_fuse_planes
 
             s_, u_ = sdf, un
