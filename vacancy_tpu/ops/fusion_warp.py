@@ -156,16 +156,6 @@ def _fused_view_chunk(
     return max(1, _IMG_VMEM_BYTES // per_view)
 
 
-def _use_fused_kernel(
-    ny: int, nx: int, sdf_images: Optional[jax.Array] = None
-) -> bool:
-    """True when the whole batch fits one fused-kernel invocation."""
-    chunk = _fused_view_chunk(ny, nx, sdf_images)
-    if chunk is None:
-        return False
-    return sdf_images is None or sdf_images.shape[0] <= chunk
-
-
 @partial(jax.jit, static_argnames=("grid", "opt", "linear"))
 def carve_views_warp(
     state: VoxelGridState,
