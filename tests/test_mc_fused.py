@@ -122,6 +122,36 @@ def test_fused_y_split_equals_dense(monkeypatch, linear_interp):
     np.testing.assert_array_equal(fused.faces, dense.faces)
 
 
+def test_fused_dense_flat_slab_wide_rows():
+    """Regression for the compaction-rank matmul precision: a flat
+    z-slab surface across a 512-lane-wide grid puts > 256 straddle
+    flags in single superplane rows, so the row-total operand of
+    _region_cumsum's second MXU matmul exceeds bf16's exact-integer
+    range (256) -- the default TPU matmul precision would round it and
+    silently scramble the compacted ranks. Asserts byte-identity with
+    the XLA dense driver (also exercised in the on-chip TPU subset,
+    where the rounding is real rather than emulated)."""
+    nz, ny, nx = 6, 16, 512
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    # sdf < 0 below the z=2.5 plane, > 0 above: every (y, x) column has
+    # one z-edge straddle => dense flag rows of nx = 512 > 256
+    c = grid.centers_zyx(use_numpy=True)
+    sdf = (c[..., 2] - 3.0).astype(np.float32)
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf),
+        update_num=jnp.ones((nz, ny, nx), jnp.int32),
+    )
+    dense = extract_mesh(state, grid, engine="xla")
+    fused = extract_mesh_fused(state, grid)
+    assert dense.num_vertices >= ny * nx  # the full slab fired
+    np.testing.assert_array_equal(fused.vertices, dense.vertices)
+    np.testing.assert_array_equal(fused.faces, dense.faces)
+
+
 def test_pick_y_parts():
     from vacancy_tpu.ops.mc_fused import pick_y_parts
 

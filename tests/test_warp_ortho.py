@@ -104,6 +104,37 @@ def test_warp_ortho_behind_camera_skipped():
     np.testing.assert_array_equal(e_un >= 1, w_un >= 1)
 
 
+def test_warp_ortho_rolled_camera_falls_back_to_exact():
+    """A 90-degree-rolled orthographic camera decouples image v from
+    world y (w2c[1,1] == 0); the warp engine's vertical-pass inversion
+    would divide by it and emit garbage. The guard must detect this and
+    produce the exact engine's result instead."""
+    grid, w2c, sdf_imgs, h, w = _setup(n_views=1)
+    roll = jnp.asarray(_rot("z", np.pi / 2.0), jnp.float32)
+    w2c = jnp.einsum("ij,vjk->vik", roll, w2c)
+    # retranslate so the grid (x in [2,28], y in [3,19], z > 0) still
+    # projects into the w x h image under the rolled axes (u = -y_w + t0,
+    # v = x_w + t1, z_cam = z_w)
+    w2c = w2c.at[:, :3, 3].set(jnp.asarray([[22.0, -3.0, 0.0]]))
+    assert float(jnp.abs(w2c[:, 1, 1]).max()) < 1e-2
+    opt = VoxelUpdateOption()
+    zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
+    exact = carve_views(
+        VoxelGridState.create(grid), grid, w2c, zero2, zero2, sdf_imgs,
+        (0, 0, w - 1, h - 1), opt, projection="ortho",
+    )
+    warp = carve_views_warp_ortho(
+        VoxelGridState.create(grid), grid, w2c, sdf_imgs, opt
+    )
+    assert int(np.asarray(exact.update_num).max()) >= 1
+    np.testing.assert_array_equal(
+        np.asarray(exact.sdf), np.asarray(warp.sdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(exact.update_num), np.asarray(warp.update_num)
+    )
+
+
 def test_carver_warp_engine_accepts_ortho():
     """VoxelCarver.carve_batch(engine='warp') now routes orthographic
     cameras through the ortho warp path instead of raising."""

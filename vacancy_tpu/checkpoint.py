@@ -40,6 +40,22 @@ def _meta(grid: GridSpec, next_view: int, extra: Optional[dict]) -> str:
     )
 
 
+def _atomic_savez(path: str, **payload) -> None:
+    """Write-temp + atomic rename: a concurrent reader either sees the
+    complete file or no file, never a half-written zip (np.savez names
+    the target itself, so write to a sibling temp and os.replace)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    # keep the .npz suffix on the temp name or np.savez appends its own
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    try:
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # savez failed mid-write
+            os.remove(tmp)
+
+
 def save_state(
     path: str,
     state: VoxelGridState,
@@ -49,7 +65,7 @@ def save_state(
 ) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if getattr(state.sdf, "is_fully_addressable", True):
-        np.savez_compressed(
+        _atomic_savez(
             path,
             sdf=np.asarray(state.sdf),
             update_num=np.asarray(state.update_num),
@@ -65,17 +81,39 @@ def save_state(
         for s in arr.addressable_shards:
             z0 = s.index[0].start or 0
             payload[f"{field}_z{z0}"] = np.asarray(s.data)
-    np.savez_compressed(f"{path}.proc{jax.process_index()}", **payload)
+    _atomic_savez(f"{path}.proc{jax.process_index()}", **payload)
+    # barrier BEFORE any cross-process read: save_state on a non-fully-
+    # addressable state is necessarily collective (every process holds
+    # shards), and without the barrier a process that saved early can
+    # enter load_state while a peer's file is still absent
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("vacancy_ckpt_saved")
 
 
 def _assemble_sharded(files, shape, sharding, field: str):
-    """Build a global array for this process from local shard files."""
+    """Build a global array for this process from local shard files.
+
+    Opens only as many files as it takes to cover THIS process's shards
+    (zip member data is read lazily, so skimming a file's key directory
+    is cheap), and decompresses only the needed shard entries -- a
+    process never touches peers' shard data when its own file covers it.
+    """
+    needed = {
+        idx[0].start or 0
+        for idx in sharding.addressable_devices_indices_map(shape).values()
+    }
     pieces = {}
+    prefix = f"{field}_z"
     for f in files:
         with np.load(f, allow_pickle=False) as z:
             for key in z.files:
-                if key.startswith(f"{field}_z"):
-                    pieces[int(key[len(field) + 2 :])] = z[key]
+                if key.startswith(prefix):
+                    z0 = int(key[len(prefix):])
+                    if z0 in needed and z0 not in pieces:
+                        pieces[z0] = z[key]
+        if needed <= pieces.keys():
+            break
     arrays = []
     for d, idx in sharding.addressable_devices_indices_map(shape).items():
         z0 = idx[0].start or 0
@@ -120,6 +158,11 @@ def load_state(
     files = [f for f in dict.fromkeys(files) if os.path.isfile(f)]
     if not files:
         raise FileNotFoundError(path)
+    # this process's own file almost always covers its shards -- try it
+    # first so _assemble_sharded usually opens exactly one file
+    own = f"{path}.proc{jax.process_index()}.npz"
+    if own in files:
+        files = [own] + [f for f in files if f != own]
     if sharding is None:
         raise ValueError(
             "loading a per-process sharded checkpoint requires a sharding"

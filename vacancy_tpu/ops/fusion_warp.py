@@ -229,12 +229,65 @@ def carve_views_warp(
     return VoxelGridState(sdf=sdf, update_num=un)
 
 
-@partial(jax.jit, static_argnames=("grid", "opt", "linear"))
+# |w2c[1,1]| below this falls back to the exact engine: the warp's
+# vertical-pass inversion divides by it, and a near-90-degree-rolled
+# camera (image v decoupled from world y) would interpolate garbage
+# with no error otherwise. Rotation rows are unit vectors, so the value
+# is a pure orientation cosine; the warp approximation degrades
+# gradually below ~0.1 but only truly explodes near zero.
+_ORTHO_V_COUPLING_MIN = 1e-2
+
+
 def carve_views_warp_ortho(
     state: VoxelGridState,
     grid: GridSpec,
     w2c: jax.Array,  # f32[V, 4, 4] or [4, 4]
     sdf_images: jax.Array,  # f32[V, H, W] or [H, W]
+    opt: VoxelUpdateOption = VoxelUpdateOption(),
+    linear: bool = True,
+) -> VoxelGridState:
+    """Orthographic warp fusion with a structural-orientation guard.
+
+    The warp engine assumes the image v axis couples to world y
+    (|w2c[1,1]| well away from zero -- the vertical-pass inversion
+    divides by it). A rolled camera that violates this would silently
+    produce garbage, so this wrapper inspects the coupling on host and
+    routes degenerate views through the exact engine (reference
+    semantics, voxel_carver.cc:442-491) instead. Inside a jit trace the
+    poses are abstract and the check is skipped (the warp path runs
+    unguarded, as before)."""
+    if w2c.ndim == 2:
+        w2c = w2c[None]
+        sdf_images = sdf_images[None]
+    try:
+        coupling = np.abs(np.asarray(jax.device_get(w2c[:, 1, 1])))
+    except jax.errors.ConcretizationTypeError:
+        coupling = None
+    if coupling is not None and float(coupling.min()) < _ORTHO_V_COUPLING_MIN:
+        from ..utils import LOGW
+        from .fusion import carve_views
+
+        LOGW(
+            "carve_views_warp_ortho: |w2c[1,1]| = %.2e decouples image v "
+            "from world y; falling back to the exact engine",
+            float(coupling.min()),
+        )
+        zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
+        return carve_views(
+            state, grid, w2c, zero2, zero2, sdf_images,
+            opt=opt, projection="ortho",
+        )
+    return _carve_views_warp_ortho(
+        state, grid, w2c, sdf_images, opt, linear
+    )
+
+
+@partial(jax.jit, static_argnames=("grid", "opt", "linear"))
+def _carve_views_warp_ortho(
+    state: VoxelGridState,
+    grid: GridSpec,
+    w2c: jax.Array,  # f32[V, 4, 4]
+    sdf_images: jax.Array,  # f32[V, H, W]
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
 ) -> VoxelGridState:

@@ -165,7 +165,15 @@ def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
     in this kernel, and every partial sum is < 2^24 (region size tops
     out around 2^18), so f32 accumulation is exact -- the result is
     bit-identical to the shift-ladder cumsum. Cuts both compile time
-    (~100 fewer unrolled vector ops) and runtime."""
+    (~100 fewer unrolled vector ops) and runtime.
+
+    Precision note: exactness needs the OPERANDS unrounded too, not just
+    the accumulator -- the default TPU matmul precision passes operands
+    through bf16, which rounds integers >= 257, and `totals` reaches nx
+    (512/1024) on dense straddle rows (flat slabs, axis-aligned hull
+    faces). Both dots therefore run at Precision.HIGHEST; the first one
+    has 0/1 x 0/1 operands and is exact at any precision, so the flag
+    costs nothing there."""
     s, w = x.shape
     e = size // w
     xf = x.astype(jnp.float32)
@@ -175,7 +183,8 @@ def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
         <= jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
     ).astype(jnp.float32)
     row_incl = jax.lax.dot(
-        xf, tri, preferred_element_type=jnp.float32
+        xf, tri, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     # strictly-lower block-diagonal prefix of row totals, confined to
     # each region's rows
@@ -184,37 +193,42 @@ def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
     cc = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     pre_m = ((cc < rr) & (cc // e == rr // e)).astype(jnp.float32)
     pre = jax.lax.dot(
-        pre_m, totals, preferred_element_type=jnp.float32
+        pre_m, totals, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )  # (s, 1)
     return (row_incl + pre).astype(jnp.int32)
 
 
 def _compact_write_multi(
-    flags, pays_f32, pays_i32, write_fns, counts_ref, rows_list
+    flags, pays_a, pays_b, write_fns, counts_ref, rows_list
 ):
     """Pack four streams' flagged elements to their flat fronts with ONE
     shared shift ladder.
 
     Each stream is an (e, w) plane with an i32-valued flag plane and two
-    payload planes (one carried as f32 bits, one as i32). The streams
-    are STACKED along sublanes into (4e, w) superplanes and compacted
-    together: every ladder pass is one roll/select on the stack instead
-    of four -- ~4x smaller Mosaic program than per-stream ladders (the
-    unrolled ladder dominated the 1024^3 cold compile), identical
-    permutation per stream (all lattices are region-flat, so no element
-    crosses a region boundary). Per-stream counts land in SMEM lanes
-    0..3; write_fns[i](a_region, b_region) stores the first
-    rows_list[i] rows of stream i's packed payloads. Skips all movement
-    when every stream is empty, so extraction cost still tracks surface
-    occupancy."""
+    i32 payload planes (f32 payloads ride as bitcast i32 -- the ladder
+    is pure permutation + select, exact on integers, so no float path
+    ever touches the moved bits; carrying raw i32 lin ids as f32 would
+    make them denormal patterns and lean on the compiler never flushing
+    them). The streams are STACKED along sublanes into (4e, w)
+    superplanes and compacted together: every ladder pass is one
+    roll/select on the stack instead of four -- ~4x smaller Mosaic
+    program than per-stream ladders (the unrolled ladder dominated the
+    1024^3 cold compile), identical permutation per stream (all
+    lattices are region-flat, so no element crosses a region boundary).
+    Per-stream counts land in SMEM lanes 0..3; write_fns[i](a_region,
+    b_region) receives i32 planes and stores the first rows_list[i]
+    rows of stream i's packed payloads (bitcasting back to f32 where
+    the payload was a position). Skips all movement when every stream
+    is empty, so extraction cost still tracks surface occupancy."""
     e, w = flags[0].shape
     m = len(flags)
     size = e * w
     flag = jnp.concatenate(
         [f.astype(jnp.int32) for f in flags], axis=0
     )  # (m*e, w)
-    pa = jnp.concatenate(pays_f32, axis=0)
-    pb = jnp.concatenate(pays_i32, axis=0)
+    pa = jnp.concatenate(pays_a, axis=0)
+    pb = jnp.concatenate(pays_b, axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (m * e, w), 1)
     lrow = jax.lax.broadcasted_iota(jnp.int32, (m * e, w), 0)
     rflat = (lrow % e) * w + lane
@@ -472,27 +486,29 @@ def _mc_fused_kernel(
         # --- active-cube stream (case strictly between 0 and 255) ---
         cube_flag = (cv_k > 0) & (case != 0) & (case != 255) & owned
 
-        # one shared ladder compacts all four streams (the cube stream's
-        # lin rides the f32 superplane as raw bits and is bitcast back
-        # at the write)
+        # one shared ladder compacts all four streams; f32 positions ride
+        # the i32 superplane as bitcast patterns and are bitcast back at
+        # the write (i32 ids carried natively -- see _compact_write_multi)
         def w_edge(pr, lr):
             def fn(a, b):
-                pr[0] = a
+                pr[0] = jax.lax.bitcast_convert_type(a, jnp.float32)
                 lr[0] = b
 
             return fn
 
         def w_cube(a, b):
-            c_lin_ref[0] = jax.lax.bitcast_convert_type(a, jnp.int32)
+            c_lin_ref[0] = a
             c_case_ref[0] = b
 
         _compact_write_multi(
             (flag_x, flag_y, flag_z, cube_flag),
             (
-                pos_x,
-                pos_y,
-                jnp.broadcast_to(pos_z, (e, nx)),
-                jax.lax.bitcast_convert_type(lin, jnp.float32),
+                jax.lax.bitcast_convert_type(pos_x, jnp.int32),
+                jax.lax.bitcast_convert_type(pos_y, jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    jnp.broadcast_to(pos_z, (e, nx)), jnp.int32
+                ),
+                lin,
             ),
             (lin, lin, lin, case),
             (

@@ -485,27 +485,31 @@ def _emit_fused_pieces_and_assemble(
         **payload,
     )
     multihost_utils.sync_global_devices("vacancy_mc_fused_pieces")
-    if pid != 0:
-        return None
-
-    pieces = {}
-    for p in range(jax.process_count()):
-        f = os.path.join(piece_dir, f"mc_fused_pieces_proc{p}.npz")
-        with np.load(f, allow_pickle=False) as z:
-            for key in z.files:
-                pieces[key] = z[key]
-    streams = [
-        np.concatenate([pieces[f"k{k}_s{i}"] for k in range(n)])
-        for i in range(8)
-    ]
-    # even-indexed edge streams are f32 bit patterns from the pack
-    vpos_parts = [s.view(np.float32) for s in
-                  (streams[0], streams[2], streams[4])]
-    vlin_parts = [s.astype(np.int64) for s in (streams[1], streams[3],
-                                               streams[5])]
-    return assemble_fused_streams(
-        vpos_parts, vlin_parts, streams[6], streams[7], ny, nx, grid
-    )
+    out = None
+    if pid == 0:
+        pieces = {}
+        for p in range(jax.process_count()):
+            f = os.path.join(piece_dir, f"mc_fused_pieces_proc{p}.npz")
+            with np.load(f, allow_pickle=False) as z:
+                for key in z.files:
+                    pieces[key] = z[key]
+        streams = [
+            np.concatenate([pieces[f"k{k}_s{i}"] for k in range(n)])
+            for i in range(8)
+        ]
+        # even-indexed edge streams are f32 bit patterns from the pack
+        vpos_parts = [s.view(np.float32) for s in
+                      (streams[0], streams[2], streams[4])]
+        vlin_parts = [s.astype(np.int64) for s in (streams[1], streams[3],
+                                                   streams[5])]
+        out = assemble_fused_streams(
+            vpos_parts, vlin_parts, streams[6], streams[7], ny, nx, grid
+        )
+    # trailing barrier: without it, a non-zero process can re-enter a
+    # second extraction and truncate-rewrite its piece file while
+    # process 0 is still reading the first call's pieces
+    multihost_utils.sync_global_devices("vacancy_mc_fused_assembled")
+    return out
 
 
 def _local_blocks(arr: jax.Array, block_len: int) -> dict:
@@ -683,24 +687,27 @@ def _emit_pieces_and_assemble(
     pid = jax.process_index()
     np.savez(os.path.join(piece_dir, f"mc_pieces_proc{pid}.npz"), **payload)
     multihost_utils.sync_global_devices("vacancy_mc_pieces")
-    if pid != 0:
-        return None
-
-    pieces = {}
-    for p in range(jax.process_count()):
-        f = os.path.join(piece_dir, f"mc_pieces_proc{p}.npz")
-        with np.load(f, allow_pickle=False) as z:
-            for key in z.files:
-                pieces[key] = z[key]
-    pos_parts = [[], [], []]
-    lin_parts = [[], [], []]
-    face_parts = []
-    for k in range(n):
-        for a in range(3):
-            pos_parts[a].append(pieces[f"k{k}_pos{a}"])
-            lin_parts[a].append(pieces[f"k{k}_lin{a}"])
-        face_parts.append((pieces[f"k{k}_fax"], pieces[f"k{k}_flin"]))
-    return _assemble_slab_parts(pos_parts, lin_parts, face_parts)
+    out = None
+    if pid == 0:
+        pieces = {}
+        for p in range(jax.process_count()):
+            f = os.path.join(piece_dir, f"mc_pieces_proc{p}.npz")
+            with np.load(f, allow_pickle=False) as z:
+                for key in z.files:
+                    pieces[key] = z[key]
+        pos_parts = [[], [], []]
+        lin_parts = [[], [], []]
+        face_parts = []
+        for k in range(n):
+            for a in range(3):
+                pos_parts[a].append(pieces[f"k{k}_pos{a}"])
+                lin_parts[a].append(pieces[f"k{k}_lin{a}"])
+            face_parts.append((pieces[f"k{k}_fax"], pieces[f"k{k}_flin"]))
+        out = _assemble_slab_parts(pos_parts, lin_parts, face_parts)
+    # trailing barrier: see _emit_fused_pieces_and_assemble -- protects
+    # the pieces from a truncate-rewrite by a re-entering process
+    multihost_utils.sync_global_devices("vacancy_mc_assembled")
+    return out
 
 
 # ----------------------------------------------------------------------
