@@ -85,6 +85,56 @@ def test_warp_mesh_matches_reference_golden(
     assert hd < hausdorff_mm, f"hausdorff {hd} mm vs {tag} golden"
 
 
+def test_carve_per_view_warp_matches_reference_golden():
+    """The reference per-view workflow (VoxelCarver.carve, one view at a
+    time -- voxel_carver.cc:503-508) through engine='warp' passes the
+    same golden gates as the batched warp path: per-view fusion is a
+    left fold, so per-call folding is the same computation."""
+    cams, masks = load_bunny()
+    carver = VoxelCarver(bunny_option(resolution=10.0))
+    assert carver.init()
+    for i in range(6):
+        sdf_img = carver.carve(cams[i], silhouette=masks[i], engine="warp")
+        assert sdf_img is not None and sdf_img.shape == (240, 320)
+    mesh = carver.extract_iso_surface(0.0)
+
+    gold = Mesh.load_ply(os.path.join(GOLDEN, "surface_carve.ply"))
+    assert abs(mesh.num_vertices - gold.num_vertices) <= max(
+        20, gold.num_vertices // 200
+    )
+    ch, _, _ = chamfer_distance(mesh, gold, max_points=100_000)
+    hd = hausdorff_distance(mesh, gold, max_points=100_000)
+    assert ch < 1.0, f"chamfer {ch} mm vs golden (per-view warp)"
+    assert hd < 8.5, f"hausdorff {hd} mm vs golden (per-view warp)"
+
+
+def test_carve_roi_warp_matches_exact():
+    """carve(roi_min/max, engine='warp') dispatches the warp engine with
+    the ROI and reproduces the exact engine's ROI carving (identical
+    touch pattern; bounded sample error)."""
+    cams, masks = load_bunny()
+    roi_min, roi_max = (40, 30), (279, 209)
+    ref = VoxelCarver(bunny_option(resolution=10.0))
+    assert ref.init()
+    fast = VoxelCarver(bunny_option(resolution=10.0))
+    assert fast.init()
+    for i in range(6):
+        ref.carve(cams[i], silhouette=masks[i],
+                  roi_min=roi_min, roi_max=roi_max)
+        fast.carve(cams[i], silhouette=masks[i],
+                   roi_min=roi_min, roi_max=roi_max, engine="warp")
+    e_un = np.asarray(ref.state.update_num)
+    w_un = np.asarray(fast.state.update_num)
+    assert (e_un >= 1).any()
+    np.testing.assert_array_equal(e_un >= 1, w_un >= 1)
+    touched = e_un >= 1
+    err = np.abs(
+        np.asarray(ref.state.sdf)[touched]
+        - np.asarray(fast.state.sdf)[touched]
+    )
+    assert np.quantile(err, 0.99) < 0.05, np.quantile(err, [0.5, 0.99])
+
+
 def test_warp_mesh_chamfer_floor_128(bunny_gt):
     """Warp fuse -> MC at a ~128^3 grid holds the visual-hull chamfer
     floor vs GT.ply -- the same 0.0092 the exact engine (and the

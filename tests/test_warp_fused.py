@@ -84,6 +84,35 @@ def test_fused_equals_twopass(opt):
     )
 
 
+@pytest.mark.parametrize("outside", ["none", "max"])
+def test_fused_roi_equals_twopass(outside):
+    """ROI rides the fused kernel as static tap clamps + outside bounds
+    and must stay exactly equal to the two-pass engine with the same
+    ROI (the fused kernel is the TPU dispatch target of
+    carve_views_warp(roi=...))."""
+    grid, state, w2c, pp, fl, imgs = _setup()
+    h, w = imgs.shape[1:]
+    roi = (5, 4, w - 12, h - 7)
+    opt = VoxelUpdateOption(
+        update_outside=(
+            UpdateOutsideImage.MAX
+            if outside == "max"
+            else UpdateOutsideImage.NONE
+        )
+    )
+    a = carve_views_warp(
+        state, grid, w2c, pp, fl, imgs, opt=opt, roi=roi
+    )
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, roi=roi,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 def test_fused_multi_call_accumulates():
     """Two sequential fused calls == one two-pass call over all views
     (the state carry through the kernel is exact)."""
@@ -203,11 +232,12 @@ def test_view_chunked_fold_equals_single_batch(monkeypatch):
     calls = []
     orig = wf.carve_views_warp_fused
 
-    def fused_interp(st, grid, w2c_, pp_, fl_, imgs_, opt, linear):
+    def fused_interp(st, grid, w2c_, pp_, fl_, imgs_, opt, linear,
+                     roi=None):
         calls.append(int(imgs_.shape[0]))
         return orig(
             st, grid, w2c_, pp_, fl_, imgs_, opt=opt, linear=linear,
-            interpret=jax.default_backend() != "tpu",
+            roi=roi, interpret=jax.default_backend() != "tpu",
         )
 
     monkeypatch.setattr(fw, "_fused_view_chunk", lambda *a: 2)

@@ -54,9 +54,17 @@ def _warp_dist_one_view(
     cy_: jax.Array,  # f32[NY]
     cz_: jax.Array,  # f32[NZ]
     linear: bool,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (dist f32[NZ, NY, NX], skip bool[NZ, NY, NX]) for one view."""
+    """Returns (dist f32[NZ, NY, NX], skip bool[NZ, NY, NX]) for one view.
+
+    roi = (x0, y0, x1, y1), inclusive, static: interpolation taps clamp
+    to it (pass 1 along u to [x0, x1], pass 2 along v to [y0, y1]) and
+    the outside test runs against its bounds -- the reference's ROI
+    Carve semantics (voxel_carver.cc:16-76, 394-413) on the warp path.
+    """
     h, w = sdf_img.shape
+    x0, y0, x1, y1 = roi or (0, 0, w - 1, h - 1)
     nx, ny, nz = cx_.shape[0], cy_.shape[0], cz_.shape[0]
     R = w2c[:3, :3]
     t = w2c[:3, 3]
@@ -90,7 +98,8 @@ def _warp_dist_one_view(
     u_eq = fx * (z0 + a1 * x + a2 * y_star) / s_safe + cxp
     u_eq = jnp.clip(jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w))
     intermediate = interp_rows(
-        img[None], u_eq, width=w, linear=linear, share_table=True
+        img[None], u_eq, width=w, linear=linear, share_table=True,
+        lo=x0, hi=x1,
     )  # [NZ, H, NX]
 
     # ---- pass 2: vertical resample at the exact v*(z, y, x) ----
@@ -104,7 +113,8 @@ def _warp_dist_one_view(
     u_star = fx * P / S + cxp
     v_pos = jnp.clip(jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h))
     dist_t = interp_rows(
-        inter_t, v_pos, width=h, linear=linear, share_table=False
+        inter_t, v_pos, width=h, linear=linear, share_table=False,
+        lo=y0, hi=y1,
     )  # [NZ, NX, NY]
 
     dist = jnp.swapaxes(dist_t, 1, 2)  # [NZ, NY, NX]
@@ -112,7 +122,7 @@ def _warp_dist_one_view(
     # ---- exact masks (same math as the exact engine) ----
     behind = S < 0
     bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
-    outside = (u_star < 0) | (v_star < 0) | (u_star > w - 1) | (v_star > h - 1)
+    outside = (u_star < x0) | (v_star < y0) | (u_star > x1) | (v_star > y1)
     skip_t = behind | bad
     return dist, jnp.swapaxes(skip_t, 1, 2), jnp.swapaxes(outside, 1, 2)
 
@@ -156,7 +166,7 @@ def _fused_view_chunk(
     return max(1, _IMG_VMEM_BYTES // per_view)
 
 
-@partial(jax.jit, static_argnames=("grid", "opt", "linear"))
+@partial(jax.jit, static_argnames=("grid", "opt", "linear", "roi"))
 def carve_views_warp(
     state: VoxelGridState,
     grid: GridSpec,
@@ -166,13 +176,17 @@ def carve_views_warp(
     sdf_images: jax.Array,  # f32[V, H, W] or [H, W]
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> VoxelGridState:
-    """Warp-engine multi-view fusion. Full-image ROI only.
+    """Warp-engine multi-view fusion.
 
     Same signature/semantics as carve_views except the sampled distance is
     the two-pass warp approximation of bilinear (or NN) sampling. On TPU
     with lane-aligned grids this dispatches to the single-kernel fused
-    engine (ops/warp_fused.py, bit-identical, ~2.4x).
+    engine (ops/warp_fused.py, bit-identical, ~2.4x). roi is a static
+    inclusive (x0, y0, x1, y1) applied as the reference's ROI Carve
+    (voxel_carver.cc:394-413): taps clamp to it and the outside policy
+    tests against its bounds.
     """
     if w2c.ndim == 2:
         w2c = w2c[None]
@@ -195,7 +209,7 @@ def carve_views_warp(
                 principal_point[i : i + chunk],
                 focal_length[i : i + chunk],
                 sdf_images[i : i + chunk],
-                opt=opt, linear=linear,
+                opt=opt, linear=linear, roi=roi,
             )
         return st
 
@@ -208,7 +222,7 @@ def carve_views_warp(
         sdf, un = carry
         img, w2c_i, pp_i, fl_i, max_i = xs
         dist, skip, outside = _warp_dist_one_view(
-            img, w2c_i, pp_i, fl_i, cx_, cy_, cz_, linear
+            img, w2c_i, pp_i, fl_i, cx_, cy_, cz_, linear, roi
         )
         if opt.update_outside == UpdateOutsideImage.NONE:
             skip = skip | outside
@@ -245,6 +259,7 @@ def carve_views_warp_ortho(
     sdf_images: jax.Array,  # f32[V, H, W] or [H, W]
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> VoxelGridState:
     """Orthographic warp fusion with a structural-orientation guard.
 
@@ -275,14 +290,14 @@ def carve_views_warp_ortho(
         zero2 = jnp.zeros((w2c.shape[0], 2), jnp.float32)
         return carve_views(
             state, grid, w2c, zero2, zero2, sdf_images,
-            opt=opt, projection="ortho",
+            roi=roi, opt=opt, projection="ortho",
         )
     return _carve_views_warp_ortho(
-        state, grid, w2c, sdf_images, opt, linear
+        state, grid, w2c, sdf_images, opt, linear, roi
     )
 
 
-@partial(jax.jit, static_argnames=("grid", "opt", "linear"))
+@partial(jax.jit, static_argnames=("grid", "opt", "linear", "roi"))
 def _carve_views_warp_ortho(
     state: VoxelGridState,
     grid: GridSpec,
@@ -290,6 +305,7 @@ def _carve_views_warp_ortho(
     sdf_images: jax.Array,  # f32[V, H, W]
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> VoxelGridState:
     """Warp-engine multi-view fusion for ORTHOGRAPHIC cameras.
 
@@ -343,7 +359,7 @@ def _carve_views_warp_ortho(
             s_, u_ = warp_fuse_planes(
                 s_, u_, cx_, cy_, cz_, w2c_synth[sl], zero2[sl],
                 one2[sl], sdf_images[sl], opt, linear,
-                ortho_rows=z_rows[sl],
+                ortho_rows=z_rows[sl], roi=roi,
             )
         return VoxelGridState(sdf=s_, update_num=u_)
 
@@ -351,7 +367,7 @@ def _carve_views_warp_ortho(
         sdf, un = carry
         img, w2c_i, w2c_s, max_i = xs
         dist, skip, outside = _warp_dist_one_view(
-            img, w2c_s, zero2[0], one2[0], cx_, cy_, cz_, linear
+            img, w2c_s, zero2[0], one2[0], cx_, cy_, cz_, linear, roi
         )
         # the real behind-camera mask: z_cam is affine in the voxel
         # index (reference skip, voxel_carver.cc:456-458)
@@ -380,7 +396,7 @@ def _carve_views_warp_ortho(
 
 @partial(
     jax.jit,
-    static_argnames=("grid", "opt", "linear", "chunk_nz"),
+    static_argnames=("grid", "opt", "linear", "chunk_nz", "roi"),
     donate_argnums=(0, 1),
 )
 def _carve_chunk(
@@ -396,6 +412,7 @@ def _carve_chunk(
     opt: VoxelUpdateOption,
     linear: bool,
     chunk_nz: int,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ):
     cx_ = jnp.asarray(grid.axis_centers(0))
     cy_ = jnp.asarray(grid.axis_centers(1))
@@ -417,7 +434,7 @@ def _carve_chunk(
                 s, u, cx_, cy_, cz, w2c[i : i + vchunk],
                 principal_point[i : i + vchunk],
                 focal_length[i : i + vchunk],
-                sdf_images[i : i + vchunk], opt, linear,
+                sdf_images[i : i + vchunk], opt, linear, roi=roi,
             )
         sdf = jax.lax.dynamic_update_slice(sdf, s, (z_lo, 0, 0))
         update_num = jax.lax.dynamic_update_slice(
@@ -429,7 +446,7 @@ def _carve_chunk(
         cs, cu = carry
         img, w2c_i, pp_i, fl_i, max_i = xs
         dist, skip, outside = _warp_dist_one_view(
-            img, w2c_i, pp_i, fl_i, cx_, cy_, cz, linear
+            img, w2c_i, pp_i, fl_i, cx_, cy_, cz, linear, roi
         )
         if opt.update_outside == UpdateOutsideImage.NONE:
             skip = skip | outside
@@ -458,6 +475,7 @@ def carve_views_warp_blocked(
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
     chunk_nz: int = 128,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> VoxelGridState:
     """Warp fusion for grids whose per-view fields exceed HBM (1024^3 on
     one chip): a host loop over z chunks, each fused through the same
@@ -473,7 +491,7 @@ def carve_views_warp_blocked(
     if nz <= chunk_nz:
         return carve_views_warp(
             state, grid, w2c, principal_point, focal_length, sdf_images,
-            opt, linear,
+            opt, linear, roi=roi,
         )
     # exact tiling only: a clamped/overlapping final chunk would re-fuse
     # voxels and double-count update_num -- so snap to the largest
@@ -500,5 +518,6 @@ def carve_views_warp_blocked(
         sdf, un = _carve_chunk(
             sdf, un, grid, jnp.int32(z_lo), w2c, principal_point,
             focal_length, sdf_images, max_sdfs, opt, linear, chunk_nz,
+            roi,
         )
     return VoxelGridState(sdf=sdf, update_num=un)

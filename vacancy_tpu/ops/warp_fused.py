@@ -107,19 +107,23 @@ def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _interp_inline(tab: jax.Array, pos: jax.Array, width: int,
-                   linear: bool) -> jax.Array:
+                   linear: bool, lo: int = 0,
+                   hi: "int | None" = None) -> jax.Array:
     """1D interpolation along rows, identical tap rules to
-    ops/warp_gather.interp_rows (floor + clamp-to-edge; NN rounds half
-    up). tab is lane-padded; taps never exceed width - 1 < padded."""
+    ops/warp_gather.interp_rows (floor + clamp to [lo, hi] -- the
+    reference's ROI clamp; NN rounds half up). tab is lane-padded; taps
+    never exceed width - 1 < padded."""
+    if hi is None:
+        hi = width - 1
     if linear:
         p0f = jnp.floor(pos)
         frac = pos - p0f
-        p0 = jnp.clip(p0f.astype(jnp.int32), 0, width - 1)
-        p1 = jnp.minimum(p0 + 1, width - 1)
+        p0 = jnp.clip(p0f.astype(jnp.int32), lo, hi)
+        p1 = jnp.minimum(p0 + 1, hi)
         t0 = _gather_rows(tab, p0)
         t1 = _gather_rows(tab, p1)
         return (1.0 - frac) * t0 + frac * t1
-    p0 = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), 0, width - 1)
+    p0 = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), lo, hi)
     return _gather_rows(tab, p0)
 
 
@@ -127,7 +131,9 @@ def _warp_fused_kernel(
     nz: int, ny: int, nxp: int, h: int, w: int, hpad: int,
     v_count: int, opt: VoxelUpdateOption, linear: bool, precise: bool,
     ortho: bool = False,
+    roi: "tuple[int, int, int, int] | None" = None,
 ):
+    x0, y0, x1, y1 = roi or (0, 0, w - 1, h - 1)
     def kernel(
         cz_ref,  # SMEM f32[1, nz]
         coef_ref,  # SMEM f32[v, 16]: R row-major 9, t 3, fx fy cx cy
@@ -188,7 +194,9 @@ def _warp_fused_kernel(
             u_eq = jnp.clip(
                 jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
             )
-            inter = _interp_inline(img, u_eq, w, linear)  # (h, nxp)
+            inter = _interp_inline(
+                img, u_eq, w, linear, x0, x1
+            )  # (h, nxp)
 
             # lane-pad the transposed intermediate for the pass-2 gather
             # (concatenate: .at[].set on a value lowers to scatter, which
@@ -214,7 +222,9 @@ def _warp_fused_kernel(
             v_pos = jnp.clip(
                 jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
             )
-            dist = _interp_inline(inter_t, v_pos, h, linear)  # (nxp, ny)
+            dist = _interp_inline(
+                inter_t, v_pos, h, linear, y0, y1
+            )  # (nxp, ny)
 
             if ortho:
                 rz0, rz1, rz2, rt = c(16), c(17), c(18), c(19)
@@ -225,8 +235,8 @@ def _warp_fused_kernel(
                 behind = s_ < 0
             bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
             outside = (
-                (u_star < 0) | (v_star < 0)
-                | (u_star > w - 1) | (v_star > h - 1)
+                (u_star < x0) | (v_star < y0)
+                | (u_star > x1) | (v_star > y1)
             )
             skip = behind | bad
             if opt.update_outside == UpdateOutsideImage.NONE:
@@ -261,6 +271,7 @@ def warp_fuse_planes(
     precise: bool = True,
     x_part: "int | None" = None,
     ortho_rows: "jax.Array | None" = None,  # f32[V, 4] real z rows
+    roi: "tuple[int, int, int, int] | None" = None,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
@@ -268,7 +279,9 @@ def warp_fuse_planes(
     are x-partitioned (x_part overrides the auto pick, for tests).
     With ortho_rows the caller passes the SYNTHETIC orthographic
     homography (third row (0,0,0,1), unit focal, zero principal point)
-    plus each view's real camera-z row for the behind mask.
+    plus each view's real camera-z row for the behind mask. roi is the
+    static inclusive (x0, y0, x1, y1) ROI clamp (reference Carve ROI
+    overloads, voxel_carver.cc:394-413).
     Returns (sdf, un)."""
     v_count, h, w = sdf_images.shape
     nz, ny, nx = sdf.shape
@@ -298,6 +311,7 @@ def warp_fuse_planes(
     kernel = _warp_fused_kernel(
         nz, ny, nxp, h, w, hpad, v_count, opt, linear, precise,
         ortho=ortho,
+        roi=tuple(int(v) for v in roi) if roi is not None else None,
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
         (1, ny, nxp), lambda k, xp: (k, 0, xp), memory_space=pltpu.VMEM
@@ -349,7 +363,7 @@ def warp_fuse_planes(
 @partial(
     jax.jit,
     static_argnames=("grid", "opt", "linear", "interpret", "precise",
-                     "x_part"),
+                     "x_part", "roi"),
 )
 def carve_views_warp_fused(
     state: VoxelGridState,
@@ -363,6 +377,7 @@ def carve_views_warp_fused(
     interpret: bool = False,
     precise: bool = True,
     x_part: "int | None" = None,
+    roi: "tuple[int, int, int, int] | None" = None,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
@@ -379,6 +394,6 @@ def carve_views_warp_fused(
         jnp.asarray(grid.axis_centers(1)),
         jnp.asarray(grid.axis_centers(2)),
         w2c, principal_point, focal_length, sdf_images,
-        opt, linear, interpret, precise, x_part,
+        opt, linear, interpret, precise, x_part, roi=roi,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)

@@ -26,9 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _interp_rows_kernel(n_chunks: int, width: int, linear: bool):
+def _interp_rows_kernel(
+    n_chunks: int, width: int, linear: bool, lo: int, hi: int
+):
     """Kernel factory: tables [C, R, 128] chunked rows; pos [R, T] f32
-    sample positions in [0, width); out [R, T] interpolated values."""
+    sample positions in [0, width); out [R, T] interpolated values.
+    Taps clamp to [lo, hi] (the reference's ROI clamp; full image when
+    lo = 0, hi = width - 1)."""
 
     def kernel(tab_ref, pos_ref, out_ref):
         pos = pos_ref[0]
@@ -40,8 +44,8 @@ def _interp_rows_kernel(n_chunks: int, width: int, linear: bool):
             # nearest neighbor: round half up like the reference NN
             p0 = jnp.floor(pos + 0.5).astype(jnp.int32)
             frac = None
-        p0 = jnp.clip(p0, 0, width - 1)
-        p1 = jnp.minimum(p0 + 1, width - 1)
+        p0 = jnp.clip(p0, lo, hi)
+        p1 = jnp.minimum(p0 + 1, hi)
 
         def fetch(p):
             chunk = p // LANE
@@ -63,7 +67,7 @@ def _interp_rows_kernel(n_chunks: int, width: int, linear: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "linear", "share_table")
+    jax.jit, static_argnames=("width", "linear", "share_table", "lo", "hi")
 )
 def interp_rows(
     tables: jax.Array,  # f32[N, R, W] (or f32[1, R, W] with share_table)
@@ -71,6 +75,8 @@ def interp_rows(
     width: int,
     linear: bool = True,
     share_table: bool = False,
+    lo: int = 0,
+    hi: "int | None" = None,
 ) -> jax.Array:
     """For each (n, r, t): linearly interpolate tables[n, r, :] at
     pos[n, r, t] with clamp-to-edge taps. Returns f32[N, R, T].
@@ -79,8 +85,11 @@ def interp_rows(
     every n (avoids materializing a broadcast copy per slice).
 
     Positions must already be clamped to finite values; taps are clamped
-    to [0, width) exactly like the reference's ROI clamp.
+    to [lo, hi] (default the full [0, width)) exactly like the
+    reference's ROI clamp (voxel_carver.cc:16-76).
     """
+    if hi is None:
+        hi = width - 1
     n, r, t = pos.shape
     nt, rt, w = tables.shape
     assert rt == r and w == width, (tables.shape, pos.shape, width)
@@ -98,7 +107,7 @@ def interp_rows(
         pos = jnp.pad(pos, ((0, 0), (0, 0), (0, t_pad - t)))
     n_ttiles = t_pad // LANE
 
-    kernel = _interp_rows_kernel(n_chunks, width, linear)
+    kernel = _interp_rows_kernel(n_chunks, width, linear, lo, hi)
     interpret = jax.default_backend() != "tpu"
     if share_table:
         tab_index = lambda i, j: (0, 0, 0, 0)  # noqa: E731

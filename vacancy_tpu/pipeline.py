@@ -102,8 +102,13 @@ def run_bunny(
     checkpoint: Optional[str] = None,
     resume: bool = False,
     sdf_scale: Optional[float] = None,
+    engine: str = "exact",
 ) -> dict:
-    """The examples.cc bunny pipeline (examples.cc:75-152), batched."""
+    """The examples.cc bunny pipeline (examples.cc:75-152), batched.
+
+    engine: "exact" (reference bit parity) or "warp" (the fast Pallas
+    engine) -- per-view carving through VoxelCarver.carve(engine=...).
+    """
     cams, masks = load_bunny()
     option = bunny_option(
         resolution=resolution,
@@ -129,7 +134,7 @@ def run_bunny(
     timer = Timer()
     for i in range(start_view, 6):
         timer.start()
-        sdf_img = carver.carve(cams[i], silhouette=masks[i])
+        sdf_img = carver.carve(cams[i], silhouette=masks[i], engine=engine)
         carve_ms = timer.end()
         num = zfill(i)
         view_rec = {"view": i, "carve_ms": carve_ms}
@@ -463,6 +468,9 @@ def main(argv=None):
     b.add_argument("--no-artifacts", action="store_true")
     b.add_argument("--checkpoint", default=None)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--engine", choices=("exact", "warp"), default="exact",
+                   help="per-view fusion engine: exact = reference bit "
+                   "parity; warp = the fast Pallas engine")
 
     t = sub.add_parser("turntable", help="synthetic turntable at N^3")
     t.add_argument("--profile", default=None, metavar="DIR",
@@ -545,6 +553,7 @@ def main(argv=None):
                 checkpoint=args.checkpoint,
                 resume=args.resume,
                 sdf_scale=args.sdf_scale,
+                engine=args.engine,
             )
     elif args.cmd == "turntable":
         with profiler_trace(args.profile):
