@@ -158,6 +158,35 @@ def test_fused_equals_twopass_shapes(shape):
     )
 
 
+def test_plane_pad_dims_policy():
+    from vacancy_tpu.ops.warp_fused import plane_pad_dims
+
+    assert plane_pad_dims(128, 128) == (128, 128)  # aligned: no pad
+    assert plane_pad_dims(320, 320) == (384, 384)  # ratio 1.44: pad
+    assert plane_pad_dims(192, 320) == (256, 384)  # ratio 1.6: pad
+    assert plane_pad_dims(53, 54) is None  # bunny-class ratio 5.7: scan
+    assert plane_pad_dims(130, 130) is None  # ratio 3.8 just past 128
+
+
+def test_fused_autopad_equals_twopass():
+    """An unaligned (non-128-multiple) grid auto-pads into the fused
+    kernel; the real region must stay exactly equal to the two-pass
+    engine (padded voxels are computed independently and sliced away).
+    Closes the round-3 lane-alignment cliff: a 320-class grid now rides
+    the kernel instead of silently dropping 2.4x."""
+    grid, state, w2c, pp, fl, imgs = _setup(nz=3, ny=192, nx=320)
+    opt = VoxelUpdateOption()
+    a = carve_views_warp(state, grid, w2c, pp, fl, imgs, opt=opt)
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 @pytest.mark.parametrize("x_part", [128, 256], ids=["4-parts", "2-parts"])
 def test_fused_x_partitioned_equals_full_plane(x_part):
     """The x-partitioned kernel (wide-plane path, grid=(nz, n_xp)) is

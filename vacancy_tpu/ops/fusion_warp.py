@@ -128,7 +128,8 @@ def _warp_dist_one_view(
 
 
 # the image stack stays resident in VMEM across every grid step; cap
-# its footprint and fold larger batches in sequential view chunks
+# its footprint (v5e value, scaled to the device's VMEM at dispatch)
+# and fold larger batches in sequential view chunks
 _IMG_VMEM_BYTES = 64 * (1 << 20)
 
 
@@ -138,32 +139,37 @@ def _fused_view_chunk(
     """Views per fused-kernel invocation, or None if the single-kernel
     engine (ops/warp_fused.py) cannot run at all.
 
-    The engine needs a TPU backend and an x-partitionable lane-aligned
-    working plane; 2.4x the two-pass engine when it applies,
-    bit-identical output. Wide planes (1024^2+) run x-partitioned --
-    the kernel splits each plane into VMEM-sized (ny, nxp) slices with
-    zero redundant work, so there is no plane-size cap. View batches
-    whose image stack exceeds the VMEM budget are folded in SEQUENTIAL
-    CHUNKS of the returned size -- per-view fusion is a left fold over
-    the state, so the chunked fold is mathematically the single batch;
-    the compiler may fuse arithmetic differently across batch shapes,
-    so agreement is to the last ulp rather than bitwise (update
-    decisions at boundaries can flip on isolated voxels; the mesh-level
-    gates are unaffected)."""
+    The engine needs a TPU backend and an x-partitionable working
+    plane -- lane-aligned directly, or auto-padded to the next
+    128-multiples when the padding overhead stays under the two-pass
+    engine's deficit (warp_fused.plane_pad_dims); 2.4x the two-pass
+    engine when it applies, bit-identical output. Wide planes (1024^2+)
+    run x-partitioned -- the kernel splits each plane into VMEM-sized
+    (ny, nxp) slices with zero redundant work, so there is no
+    plane-size cap. View batches whose image stack exceeds the VMEM
+    budget are folded in SEQUENTIAL CHUNKS of the returned size --
+    per-view fusion is a left fold over the state, so the chunked fold
+    is mathematically the single batch; the compiler may fuse
+    arithmetic differently across batch shapes, so agreement is to the
+    last ulp rather than bitwise (update decisions at boundaries can
+    flip on isolated voxels; the mesh-level gates are unaffected)."""
     if jax.default_backend() != "tpu":
         return None
-    from .warp_fused import _pick_x_part
+    from .warp_fused import plane_pad_dims
 
-    if _pick_x_part(ny, nx) is None:
+    if plane_pad_dims(ny, nx) is None:
         return None
     if sdf_images is None:
         return 1 << 30
+    from ..utils.device import scale_budget
+
+    budget = scale_budget(_IMG_VMEM_BYTES)
     v, h, w = sdf_images.shape
     wpad = -(-w // 128) * 128
     per_view = h * wpad * 4
-    if per_view > _IMG_VMEM_BYTES:
+    if per_view > budget:
         return None  # a single view doesn't fit: two-pass scan
-    return max(1, _IMG_VMEM_BYTES // per_view)
+    return max(1, budget // per_view)
 
 
 @partial(jax.jit, static_argnames=("grid", "opt", "linear", "roi"))

@@ -71,6 +71,7 @@ from ..config import INVALID_SDF
 from ..grid import GridSpec, VoxelGridState
 from ..mesh import Mesh
 from .marching_cubes import _edge_vertex_interp
+from .warp_fused import _scaled_vmem_limit
 from .mc_tables import (
     CORNER_OFFSETS,
     EDGE_AXIS,
@@ -82,7 +83,8 @@ from .mc_tables import (
 _INVALID = float(INVALID_SDF)
 
 # one f32 working sub-plane may use at most this many bytes (the kernel
-# holds ~25 of them live; 512^2 fits comfortably on this chip)
+# holds ~25 of them live; 512^2 fits comfortably on this chip). v5e
+# value, scaled to the device's VMEM at dispatch (utils/device.py).
 _MAX_PART_BYTES = 1 << 20
 # compile-size budget: Mosaic's compile time for the unrolled shift
 # ladder scales with (extended plane bytes) x (ladder passes), so keep
@@ -104,6 +106,9 @@ def pick_y_parts(ny: int, nx: int) -> Optional[int]:
     fits BOTH the VMEM budget and the compile-size budget; if no
     partition meets the latter, takes the one minimizing the extended
     plane (the compile-time driver)."""
+    from ..utils.device import scale_budget
+
+    max_part = scale_budget(_MAX_PART_BYTES)
     if min(ny, nx) < 2:
         return None
     best = None
@@ -114,7 +119,7 @@ def pick_y_parts(ny: int, nx: int) -> Optional[int]:
         if ny % h or (h > 1 and (ny2 % 8 or ny2 < 8)):
             h *= 2
             continue
-        if ny2 * nx * 4 <= _MAX_PART_BYTES:
+        if ny2 * nx * 4 <= max_part:
             e = -(-(ny2 + 2) // 8) * 8
             if e * nx * 4 <= _MAX_LADDER_BYTES:
                 return h
@@ -665,8 +670,9 @@ def mc_fused_call(
             dimension_semantics=("arbitrary", "arbitrary"),
             # the default 16MB scoped-vmem limit is far below this chip's
             # physical VMEM (a 100MB scratch probe passes); 512-wide
-            # sub-planes need ~25MB of live intermediates
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # sub-planes need ~25MB of live intermediates. v5e value,
+            # scaled to the device's VMEM (ops/warp_fused.py helper).
+            vmem_limit_bytes=_scaled_vmem_limit(),
         ),
         interpret=interpret,
     )(

@@ -61,18 +61,26 @@ from .fusion import apply_view_update
 _SENTINEL_CLAMP = np.float32(-1e6)
 _LANE = 128
 
-# one (nxp, ny) f32 working sub-plane may use at most this many bytes;
-# the kernel holds ~12 of them live plus the image stack. 512^2 planes
-# (1 MB) are the measured sweet spot on this chip -- full 1024^2 planes
-# thrash VMEM.
+# one (nxp, ny) f32 working sub-plane may use at most this many bytes
+# ON A v5e (scaled to the actual device's VMEM at dispatch); the kernel
+# holds ~12 of them live plus the image stack. 512^2 planes (1 MB) are
+# the measured sweet spot on this chip -- full 1024^2 planes thrash
+# VMEM.
 _PART_BYTES = 1 << 20
+# Mosaic scoped-vmem limit, v5e value (the default 16 MB is far below
+# the chip's physical VMEM)
+_VMEM_LIMIT = 120 * 1024 * 1024
 
 
 def _pick_x_part(ny: int, nx: int,
-                 part_bytes: int = _PART_BYTES) -> "int | None":
+                 part_bytes: "int | None" = None) -> "int | None":
     """Widest lane-multiple divisor of nx whose (nxp, ny) working plane
     fits the per-plane VMEM budget, or None if the plane cannot be
     partitioned (callers fall back to the two-pass engine)."""
+    if part_bytes is None:
+        from ..utils.device import scale_budget
+
+        part_bytes = scale_budget(_PART_BYTES)
     if nx % _LANE or ny % _LANE:
         return None
     for d in range(nx // _LANE, 0, -1):
@@ -80,6 +88,52 @@ def _pick_x_part(ny: int, nx: int,
         if nx % nxp == 0 and nxp * ny * 4 <= part_bytes:
             return nxp
     return None
+
+
+# auto-padding an unaligned plane into the kernel wastes
+# (padded area / real area) work; the kernel is ~2.4x the two-pass
+# engine, so padding wins while the ratio stays under ~2.4 -- capped at
+# 2.0 for margin. Bunny-class grids (54^2: ratio 5.7) keep the scan;
+# 320-class grids (ratio 1.44) ride the kernel.
+_PAD_WORK_MAX = 2.0
+
+
+def plane_pad_dims(ny: int, nx: int) -> "tuple[int, int] | None":
+    """(ny_pad, nx_pad) if the fused kernel can run this plane --
+    directly when lane-aligned, else via zero-padding to the next
+    128-multiples when the padded/real work ratio stays under
+    _PAD_WORK_MAX. None means the caller should use the two-pass scan.
+    Padded voxels compute garbage independently and are sliced away;
+    the real region is bit-identical to the unpadded kernel."""
+    nyp = -(-ny // _LANE) * _LANE
+    nxp = -(-nx // _LANE) * _LANE
+    if _pick_x_part(nyp, nxp) is None:
+        return None
+    if (ny, nx) == (nyp, nxp):
+        return (ny, nx)
+    if nyp * nxp > _PAD_WORK_MAX * ny * nx:
+        return None
+    return (nyp, nxp)
+
+
+def _extend_centers(c: jax.Array, n_to: int) -> jax.Array:
+    """Continue a center vector past the grid with its own pitch (the
+    values only feed discarded padded voxels; monotone finite
+    continuation keeps every intermediate well-behaved)."""
+    n = c.shape[0]
+    if n_to == n:
+        return c
+    pitch = c[-1] - c[-2] if n > 1 else jnp.float32(1.0)
+    return jnp.concatenate(
+        [c, c[-1] + pitch * jnp.arange(1, n_to - n + 1, dtype=c.dtype)]
+    )
+
+
+def _scaled_vmem_limit() -> int:
+    """The Mosaic scoped-vmem limit scaled to this device's VMEM."""
+    from ..utils.device import scale_budget
+
+    return scale_budget(_VMEM_LIMIT)
 
 
 def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
@@ -275,7 +329,8 @@ def warp_fuse_planes(
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
-    Requires NX, NY multiples of 128; planes wider than the VMEM budget
+    Unaligned NX/NY auto-pad to 128-multiples when plane_pad_dims allows
+    it; planes wider than the VMEM budget
     are x-partitioned (x_part overrides the auto pick, for tests).
     With ortho_rows the caller passes the SYNTHETIC orthographic
     homography (third row (0,0,0,1), unit focal, zero principal point)
@@ -285,6 +340,21 @@ def warp_fuse_planes(
     Returns (sdf, un)."""
     v_count, h, w = sdf_images.shape
     nz, ny, nx = sdf.shape
+    if ny % _LANE or nx % _LANE:
+        # auto-pad to lane multiples (plane_pad_dims gates viability);
+        # padded voxels are computed independently and sliced away, so
+        # the real region is bit-identical to an aligned run
+        dims = plane_pad_dims(ny, nx)
+        assert dims is not None, (ny, nx)
+        nyq, nxq = dims
+        s2, u2 = warp_fuse_planes(
+            jnp.pad(sdf, ((0, 0), (0, nyq - ny), (0, nxq - nx))),
+            jnp.pad(un, ((0, 0), (0, nyq - ny), (0, nxq - nx))),
+            _extend_centers(cx, nxq), _extend_centers(cy, nyq), cz,
+            w2c, principal_point, focal_length, sdf_images, opt, linear,
+            interpret, precise, x_part, ortho_rows, roi,
+        )
+        return s2[:, :ny, :nx], u2[:, :ny, :nx]
     nxp = x_part or _pick_x_part(ny, nx)
     assert nxp is not None and nx % nxp == 0, (nx, ny, nxp)
     n_xp = nx // nxp
@@ -350,7 +420,7 @@ def warp_fuse_planes(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=_scaled_vmem_limit(),
         ),
         interpret=interpret,
     )(
@@ -381,8 +451,8 @@ def carve_views_warp_fused(
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
-    Same semantics as carve_views_warp; requires NX and NY to be
-    multiples of 128 (the caller dispatches)."""
+    Same semantics as carve_views_warp; unaligned grids auto-pad when
+    plane_pad_dims allows it (the caller dispatches)."""
     if w2c.ndim == 2:
         w2c = w2c[None]
         principal_point = principal_point[None]

@@ -1,0 +1,51 @@
+"""Device-capability queries for kernel budget tuning.
+
+The Pallas kernels carry VMEM budgets that were measured on a v5e
+(128 MiB of VMEM per core): the warp kernel's per-plane working-set cap,
+the resident image-stack cap, the MC kernel's sub-plane cap, and the
+Mosaic scoped-vmem limit. Rather than hard-coding those v5e literals at
+every site, the budgets are expressed as v5e values and scaled by the
+actual device's VMEM at dispatch time, with a per-generation table
+(VMEM size is not exposed through jax's memory_stats, which reports
+HBM). Unknown kinds -- including the CPU test backend, where the
+kernels run in interpret mode and the budgets only steer partitioning
+decisions -- fall back to the 128 MiB class, keeping today's measured
+behavior bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+# reference class the in-tree budgets were measured on
+_V5E_VMEM = 128 << 20
+
+# VMEM per core by device_kind substring (first match wins). v2/v3
+# cores have 16 MiB of VMEM; v4 and later are 128 MiB class.
+_VMEM_TABLE = (
+    ("v2", 16 << 20),
+    ("v3", 16 << 20),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def vmem_bytes() -> int:
+    """VMEM per core of the default backend's first device (bytes)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _V5E_VMEM
+    for sub, v in _VMEM_TABLE:
+        if sub in kind:
+            return v
+    return _V5E_VMEM
+
+
+def scale_budget(v5e_bytes: int) -> int:
+    """Scale a v5e-measured byte budget to the current device's VMEM.
+
+    Identity on 128 MiB-class chips (and the CPU test backend), so all
+    measured tunings keep their exact values there."""
+    return max(1, v5e_bytes * vmem_bytes() // _V5E_VMEM)
