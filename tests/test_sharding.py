@@ -187,6 +187,159 @@ def test_pad_bbox_for_sharding():
     assert padded.voxel_num[:2] == grid.voxel_num[:2]
 
 
+def test_pad_bbox_for_sharding_mesh():
+    """Passing a Mesh pads every sharded axis to its shard count."""
+    _require_devices(8)
+    grid = GridSpec(bb_min=(0, 0, 0), bb_max=(5.2, 5.2, 5.2), resolution=1.0)
+    assert grid.shape_zyx == (5, 5, 5)
+    padded = pad_bbox_for_sharding(grid, make_device_mesh(shape=(2, 2, 2)))
+    assert padded.shape_zyx == (6, 6, 6)
+
+
+# multi-axis block meshes (SURVEY section 7 stage 6: "a block partition
+# on (x, y) or (x, y, z) axes"); (1, 4, 2) is the flat-grid case -- more
+# devices than z planes, sharded on y/x instead
+MULTI_AXIS_SHAPES = [(2, 4), (2, 2, 2), (1, 4, 2)]
+
+
+@pytest.mark.parametrize("shape", MULTI_AXIS_SHAPES)
+def test_multiaxis_fusion_bitwise_equal(shape):
+    """Exact-engine fusion over (z, y[, x]) block meshes: still
+    zero-communication data parallelism, bit-identical to dense."""
+    _require_devices(int(np.prod(shape)))
+    grid, w2c, pp, fl, imgs, roi, opt = _setup_grid_and_views()
+    mesh = make_device_mesh(shape=shape)
+
+    dense = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, roi, opt
+    )
+    sharded = carve_views_sharded(
+        VoxelGridState.create(grid, sharding=grid_sharding(mesh)),
+        grid, w2c, pp, fl, imgs, roi, opt, mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.sdf), np.asarray(dense.sdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.update_num), np.asarray(dense.update_num)
+    )
+
+
+@pytest.mark.parametrize("shape", MULTI_AXIS_SHAPES)
+def test_multiaxis_warp_fusion_bitwise_equal(shape):
+    """Warp-engine fusion over multi-axis meshes: the warp is a
+    per-voxel closed form in the center vectors, so y/x block slicing
+    must not change any voxel's update either."""
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+    from vacancy_tpu.parallel import carve_views_warp_sharded
+
+    _require_devices(int(np.prod(shape)))
+    grid, w2c, pp, fl, imgs, _, opt = _setup_grid_and_views(seed=7)
+    mesh = make_device_mesh(shape=shape)
+
+    dense = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt
+    )
+    sharded = carve_views_warp_sharded(
+        VoxelGridState.create(grid, sharding=grid_sharding(mesh)),
+        grid, w2c, pp, fl, imgs, opt=opt, mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.sdf), np.asarray(dense.sdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.update_num), np.asarray(dense.update_num)
+    )
+
+
+@pytest.mark.parametrize("shape", MULTI_AXIS_SHAPES)
+@pytest.mark.parametrize("linear_interp", [True, False])
+def test_multiaxis_fused_mc_equals_dense(shape, linear_interp):
+    """Fused Pallas MC over multi-axis meshes: per-axis sequential halo
+    exchange + local (own_k, own_j, own_i) emission windows + global
+    linear ids, host assembly sorted back to dense element order --
+    byte-identical mesh."""
+    from vacancy_tpu.config import INVALID_SDF
+    from vacancy_tpu.parallel import extract_mesh_fused_sharded
+
+    _require_devices(int(np.prod(shape)))
+    rng = np.random.default_rng(17)
+    nz, ny, nx = 8, 12, 16
+    sdf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    sdf[rng.random((nz, ny, nx)) < 0.05] = INVALID_SDF
+    un = (rng.random((nz, ny, nx)) < 0.9).astype(np.int32)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf), update_num=jnp.asarray(un)
+    )
+    dense = extract_mesh(state, grid, linear_interp=linear_interp,
+                         engine="xla")
+    sh = extract_mesh_fused_sharded(
+        state, grid, make_device_mesh(shape=shape),
+        linear_interp=linear_interp,
+    )
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)
+
+
+@pytest.mark.parametrize("shape", [(2, 2)])
+def test_multiaxis_fused_mc_y_split_equals_dense(monkeypatch, shape):
+    """Multi-axis fused MC with y-PARTITIONED local sub-planes (h > 1):
+    the (own_j, own_i) windows and the global-id sort must compose with
+    the kernel's intra-block y split."""
+    from vacancy_tpu.config import INVALID_SDF
+    from vacancy_tpu.ops import mc_fused
+    from vacancy_tpu.parallel import extract_mesh_fused_sharded
+
+    _require_devices(int(np.prod(shape)))
+    rng = np.random.default_rng(19)
+    nz, ny, nx = 8, 28, 20
+    # local halo-extended block: dy = 16, dx = 20 -> force h = 2
+    monkeypatch.setattr(mc_fused, "_MAX_PART_BYTES", 16 * nx * 4 // 2)
+    assert mc_fused.pick_y_parts(ny // 2 + 2, nx) == 2
+    sdf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    sdf[rng.random((nz, ny, nx)) < 0.05] = INVALID_SDF
+    un = (rng.random((nz, ny, nx)) < 0.9).astype(np.int32)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf), update_num=jnp.asarray(un)
+    )
+    dense = extract_mesh(state, grid, engine="xla")
+    sh = extract_mesh_fused_sharded(
+        state, grid, make_device_mesh(shape=shape)
+    )
+    np.testing.assert_array_equal(sh.vertices, dense.vertices)
+    np.testing.assert_array_equal(sh.faces, dense.faces)
+
+
+def test_multiaxis_xla_engine_raises():
+    """The XLA slab core shards on z only; asking for it on a (z, y)
+    mesh must fail loudly instead of mis-assembling."""
+    _require_devices(4)
+    grid = GridSpec(
+        bb_min=(0, 0, 0), bb_max=(8.4, 8.4, 8.4), resolution=1.0
+    )
+    state = VoxelGridState.create(grid)
+    with pytest.raises(ValueError, match="shards on z only"):
+        extract_mesh_sharded(
+            state, grid, make_device_mesh(shape=(2, 2)), engine="xla"
+        )
+
+
 def test_state_create_with_sharding():
     _require_devices(8)
     grid = GridSpec(bb_min=(0, 0, 0), bb_max=(4.4, 4.4, 8.4), resolution=1.0)

@@ -290,10 +290,23 @@ def _mc_fused_kernel(
     rows_c: int,
     own_k: Optional[Tuple[int, int]] = None,
     with_zbase: bool = False,
+    own_j: Optional[Tuple[int, int]] = None,
+    own_i: Optional[Tuple[int, int]] = None,
+    gdims: Optional[Tuple[int, int]] = None,
+    with_yxbase: bool = False,
 ):
     """own_k=(lo, hi) restricts emission to planes lo <= k < hi (the
     sharded driver's halo planes emit nothing); with_zbase adds an SMEM
-    scalar added to k for GLOBAL linear ids (the shard's z offset)."""
+    scalar added to k for GLOBAL linear ids (the shard's z offset).
+
+    Multi-axis sharded blocks (parallel/sharded.py) additionally pass
+    own_j / own_i -- static LOCAL-array windows on rows / lanes that
+    silence the +-y / +-x halo planes -- plus gdims = (NY, NX) of the
+    GLOBAL grid (linear ids and nothing else; array-local masks already
+    give dense semantics because out-of-grid halos carry InvalidSdf)
+    and with_yxbase, an SMEM (1, 2) input holding the global (row,
+    lane) of local array (row 0, lane 0)."""
+    gny, gnx = gdims if gdims is not None else (ny, nx)
     ny2 = ny // y_parts
     # extended rows: owned slice + one halo row each side, padded to a
     # sublane multiple (Mosaic miscompiles some shapes at odd row counts)
@@ -308,6 +321,7 @@ def _mc_fused_kernel(
         # (ny2 % 8 == 0 puts the below row at offset 7, the above at 0).
         refs = list(refs)
         zb_ref = refs.pop(1) if with_zbase else None
+        yx_ref = refs.pop(1) if with_yxbase else None
         if y_parts == 1:
             (cz_ref, s0m_ref, s1m_ref, u1m_ref, cx_ref, cy_ref,
              vx_pos_ref, vx_lin_ref, vy_pos_ref, vy_lin_ref,
@@ -379,9 +393,15 @@ def _mc_fused_kernel(
 
         lrow = jax.lax.broadcasted_iota(jnp.int32, (e, nx), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (e, nx), 1)
-        grow = lrow + (p * ny2 - 1)  # global voxel row (j); -1 at guard
+        grow = lrow + (p * ny2 - 1)  # LOCAL-array voxel row (j); -1 at guard
         lattice = (grow < ny - 1) & (lane < nx - 1)
         owned = (lrow >= 1) & (lrow <= ny2)
+        if own_j is not None:
+            # +-y halo rows of a sharded block emit nothing
+            owned = owned & (grow >= own_j[0]) & (grow < own_j[1])
+        if own_i is not None:
+            # +-x halo lanes likewise
+            owned = owned & (lane >= own_i[0]) & (lane < own_i[1])
 
         def sx(q):  # q[j, i+1] (garbage at i = nx-1; lattice-masked)
             return pltpu.roll(q, nx - 1, 1)
@@ -424,9 +444,9 @@ def _mc_fused_kernel(
         cv_prev[k % 2, p] = cv_k
 
         gz = k + zb_ref[0, 0] if with_zbase else k
-        lin = gz * (ny * nx) + grow * nx + jax.lax.broadcasted_iota(
-            jnp.int32, (e, nx), 1
-        )
+        gj = grow + yx_ref[0, 0] if with_yxbase else grow
+        gi = lane + yx_ref[0, 1] if with_yxbase else lane
+        lin = gz * (gny * gnx) + gj * gnx + gi
         if own_k is not None:
             # halo planes of a sharded block emit nothing
             owned = owned & (k >= own_k[0]) & (k < own_k[1])
@@ -544,6 +564,10 @@ def mc_fused_call(
     rows_e: int = 32,
     rows_c: int = 32,
     own_k=None,  # (lo, hi) plane emission window; None = all planes
+    own_j=None,  # (lo, hi) LOCAL-row emission window; None = all rows
+    own_i=None,  # (lo, hi) LOCAL-lane emission window; None = all lanes
+    gdims=None,  # (NY, NX) of the GLOBAL grid when != local (y/x shards)
+    yx_base=None,  # (yb, xb): global (row, lane) of local (0, 0)
     interpret: bool = False,
 ):
     """Array-level fused-kernel invocation (traceable inside shard_map).
@@ -553,7 +577,13 @@ def mc_fused_call(
     each [nz * y_parts, rows, nx], plus counts i32[nz * y_parts, 1, 8]
     (lanes 0..3 = x/y/z edge and cube counts per step). Per-step
     capacities are rows * nx elements; counts are exact regardless, so
-    callers re-run with more rows on overflow."""
+    callers re-run with more rows on overflow.
+
+    A multi-axis sharded block (parallel/sharded.py) passes its
+    halo-extended local arrays plus own_j / own_i emission windows,
+    gdims = global (NY, NX), and yx_base -- with those, emitted linear
+    ids are GLOBAL while every mask stays array-local (dense semantics
+    hold because out-of-grid halos carry InvalidSdf)."""
     nz, ny, nx = sdf.shape
     h = y_parts
     ny2 = ny // h
@@ -565,10 +595,12 @@ def mc_fused_call(
     cy = jnp.pad(cy, (1, cy_rows - ny - 1)).reshape(cy_rows, 1)
     cz = cz.reshape(1, nz)
     with_zbase = zb is not None
+    with_yxbase = yx_base is not None
 
     kernel = _mc_fused_kernel(
         nz, ny, nx, h, float(iso_level), bool(linear_interp),
         rows_e, rows_c, own_k=own_k, with_zbase=with_zbase,
+        own_j=own_j, own_i=own_i, gdims=gdims, with_yxbase=with_yxbase,
     )
     zp1 = lambda k, p: jnp.minimum(k + 1, nz - 1)  # noqa: E731
     nb8 = max(ny // 8, 1)  # 8-row halo blocks (ny2 % 8 == 0 when h > 1)
@@ -634,6 +666,16 @@ def mc_fused_call(
                 else []
             )
             + (
+                [
+                    pl.BlockSpec(
+                        (1, 2), lambda k, p: (0, 0),
+                        memory_space=pltpu.SMEM,
+                    )
+                ]
+                if with_yxbase
+                else []
+            )
+            + (
                 [main0, main1, main1]
                 if h == 1
                 else [
@@ -680,6 +722,18 @@ def mc_fused_call(
         *(
             (jnp.asarray(zb, jnp.int32).reshape(1, 1),)
             if with_zbase
+            else ()
+        ),
+        *(
+            (
+                jnp.stack(
+                    [
+                        jnp.asarray(yx_base[0], jnp.int32),
+                        jnp.asarray(yx_base[1], jnp.int32),
+                    ]
+                ).reshape(1, 2),
+            )
+            if with_yxbase
             else ()
         ),
         *(
@@ -900,11 +954,12 @@ def extract_mesh_fused(
 
 
 def finish_fused_extract(outs, counts, ny: int, nx: int,
-                         grid: GridSpec) -> Mesh:
+                         grid: GridSpec, sort: bool = False) -> Mesh:
     """Pack the kernel's per-step streams, transfer once, and assemble
     the mesh on host (shared by the plain and sharded fused drivers;
-    the sharded driver's outs are stacked over shards in ascending z,
-    which is already global step order)."""
+    a z-sharded driver's outs are stacked over shards in ascending z,
+    which is already global step order; a multi-axis sharded driver
+    passes sort=True -- see assemble_fused_streams)."""
     tots = [int(counts[:, a].sum()) for a in range(4)]
     caps = tuple(_bucket_cap(t) for t in tots)
     # single dispatch + single host transfer for all eight streams
@@ -922,17 +977,33 @@ def finish_fused_extract(outs, counts, ny: int, nx: int,
     at += caps[3]
     ccase = buf[at : at + tots[3]]
     return assemble_fused_streams(
-        vpos_parts, vlin_parts, clin, ccase, ny, nx, grid
+        vpos_parts, vlin_parts, clin, ccase, ny, nx, grid, sort=sort
     )
 
 
 def assemble_fused_streams(vpos_parts, vlin_parts, clin, ccase,
-                           ny: int, nx: int, grid: GridSpec) -> Mesh:
+                           ny: int, nx: int, grid: GridSpec,
+                           sort: bool = False) -> Mesh:
     """Host assembly of packed fused-kernel streams (numpy): vertex
     fixed coordinates are exact functions of the owner id, faces expand
     from (cube id, case) pairs. Streams must be in global (z, y, x)
-    step order -- the multi-process piece path concatenates per-shard
-    trimmed streams in ascending shard order to satisfy this."""
+    element order: z-sharded drivers satisfy it by concatenating shard
+    pieces in ascending z, and pass sort=False to skip the no-op sort;
+    MULTI-axis sharded drivers interleave in y/x and pass sort=True --
+    each shard's sub-stream is internally ascending in its (unique
+    per stream) global owner id, so a stable argsort by id restores
+    the dense drivers' exact element order and the mesh stays
+    byte-identical."""
+    if sort:
+        vpos_parts = list(vpos_parts)
+        vlin_parts = list(vlin_parts)
+        for a in range(3):
+            order = np.argsort(vlin_parts[a], kind="stable")
+            vlin_parts[a] = np.asarray(vlin_parts[a])[order]
+            vpos_parts[a] = np.asarray(vpos_parts[a])[order]
+        order = np.argsort(clin, kind="stable")
+        clin = np.asarray(clin)[order]
+        ccase = np.asarray(ccase)[order]
     centers = [np.asarray(grid.axis_centers(a)) for a in range(3)]
     # the interpolated coordinate came from the kernel; the two fixed
     # coordinates are recomputed from the owner id

@@ -1,15 +1,21 @@
 """Device-mesh and sharding helpers.
 
-The voxel grid is block-partitioned along its z (slowest) axis over a 1D
-``jax.sharding.Mesh`` axis named "z". Fusion is embarrassingly parallel
-per block (SURVEY section 5: the only cross-block dependency in the whole
-pipeline is marching cubes reading a one-voxel neighborhood); cameras and
-SDF images are replicated.
+The voxel grid is block-partitioned over a ``jax.sharding.Mesh`` whose
+axes are named after grid axes: "z" (the slowest array dim), "y", "x".
+A 1-D z mesh is the default (the TPU analog of the reference's OpenMP
+z-partition, ``voxel_carver.cc:439-442``); 2-D (z, y) and 3-D (z, y, x)
+meshes generalize it per SURVEY section 7 stage 6 ("a block partition on
+(x, y) or (x, y, z) axes"), so flat/wide grids can shard and device
+counts are not capped by nz. Fusion is embarrassingly parallel per block
+(SURVEY section 5: the only cross-block dependency in the whole pipeline
+is marching cubes reading a one-voxel neighborhood, resolved with
+per-axis ppermute halo exchanges); cameras and SDF images are
+replicated.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -17,31 +23,70 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..grid import GridSpec
 
+# grid-axis names in array-dim order: dim 0 = z, dim 1 = y, dim 2 = x
+GRID_AXES = ("z", "y", "x")
+
 
 def make_device_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
     axis_name: str = "z",
     config=None,
+    shape: Optional[Tuple[int, ...]] = None,
 ) -> Mesh:
-    """A 1D device mesh over the grid's z axis.
+    """A device mesh over the grid's axes.
 
-    Pass a ``config.ShardingConfig`` to drive the axis name and device
-    count from configuration instead of arguments."""
+    Default: a 1-D mesh named ``axis_name`` over ``n_devices`` (all by
+    default). Pass ``shape`` -- a tuple of 1 to 3 ints -- for a
+    multi-axis mesh; its dims map onto grid axes ("z",), ("z", "y"),
+    ("z", "y", "x") in order. Pass a ``config.ShardingConfig`` to drive
+    the axis name and device count from configuration instead."""
     if config is not None:
         axis_name = config.axis_name
         if config.n_devices is not None and n_devices is None:
             n = config.n_devices
-            n_devices = int(n[0]) if isinstance(n, tuple) else int(n)
+            if isinstance(n, tuple) and len(n) > 1 and shape is None:
+                shape = tuple(int(v) for v in n)
+            else:
+                n_devices = int(n[0]) if isinstance(n, tuple) else int(n)
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        if not 1 <= len(shape) <= 3:
+            raise ValueError(f"mesh shape must have 1-3 dims: {shape}")
+        total = int(np.prod(shape))
+        if total > len(devices):
+            raise ValueError(
+                f"mesh shape {shape} needs {total} devices, have "
+                f"{len(devices)}"
+            )
+        names = GRID_AXES[: len(shape)]
+        return Mesh(
+            np.asarray(devices[:total]).reshape(shape), names
+        )
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def mesh_grid_axes(mesh: Mesh) -> Tuple[int, int, int]:
+    """Partition counts (nz_shards, ny_shards, nx_shards) of a grid
+    mesh: the size of each grid-named mesh axis, 1 where absent."""
+    return tuple(
+        int(mesh.shape[a]) if a in mesh.axis_names else 1
+        for a in GRID_AXES
+    )
+
+
 def grid_sharding(mesh: Mesh, axis_name: str = "z") -> NamedSharding:
-    """Sharding for [Z, Y, X] grid-state arrays: block-partitioned on z."""
+    """Sharding for [Z, Y, X] grid-state arrays: block-partitioned on
+    every grid-named mesh axis present."""
+    if set(mesh.axis_names) <= set(GRID_AXES):
+        return NamedSharding(
+            mesh,
+            P(*(a if a in mesh.axis_names else None for a in GRID_AXES)),
+        )
+    # legacy: a custom 1-D axis name partitions z
     return NamedSharding(mesh, P(axis_name, None, None))
 
 
@@ -49,39 +94,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def validate_divisible(grid: GridSpec, n_shards: int) -> int:
-    """The z extent must divide evenly across shards; returns the block."""
-    nz = grid.shape_zyx[0]
-    if nz % n_shards != 0:
-        raise ValueError(
-            f"grid z extent {nz} not divisible by {n_shards} shards; "
-            "use pad_bbox_for_sharding()"
-        )
-    return nz // n_shards
+def validate_divisible(grid: GridSpec, n_shards, axis: str = "z") -> int:
+    """The axis extent must divide evenly across shards; returns the
+    block. n_shards may be an int (1-D z mesh) or a Mesh."""
+    if isinstance(n_shards, Mesh):
+        parts = mesh_grid_axes(n_shards)
+    else:
+        parts = (int(n_shards), 1, 1)
+    dims = grid.shape_zyx
+    out = None
+    for a, n, d in zip(GRID_AXES, parts, dims):
+        if d % n != 0:
+            raise ValueError(
+                f"grid {a} extent {d} not divisible by {n} shards; "
+                "use pad_bbox_for_sharding()"
+            )
+        if a == axis:
+            out = d // n
+    return out
 
 
-def pad_bbox_for_sharding(grid: GridSpec, n_shards: int) -> GridSpec:
-    """Grow bb_max.z so the voxel count along z divides n_shards.
+def pad_bbox_for_sharding(grid: GridSpec, n_shards) -> GridSpec:
+    """Grow bb_max so each sharded axis's voxel count divides its shard
+    count. n_shards: an int (z only, the 1-D default) or a Mesh.
 
     Extending the bounding box adds real voxels above the volume of
-    interest -- they participate in carving normally and simply get carved
-    away (or stay outside the silhouette cones), so results in the
-    original volume are unchanged.
+    interest -- they participate in carving normally and simply get
+    carved away (or stay outside the silhouette cones), so results in
+    the original volume are unchanged.
     """
-    nz = grid.shape_zyx[0]
-    if nz % n_shards == 0:
-        return grid
-    target = ((nz + n_shards - 1) // n_shards) * n_shards
-    # voxel_num = int(f32(diff) / res): nudge diff.z just past target*res
-    bb_min = grid.bb_min
+    if isinstance(n_shards, Mesh):
+        parts = mesh_grid_axes(n_shards)
+    else:
+        parts = (int(n_shards), 1, 1)
+    dims = grid.shape_zyx  # (nz, ny, nx)
     res = np.float32(grid.resolution)
-    new_z = np.float32(bb_min[2]) + res * (target + np.float32(0.5))
+    bb_min = grid.bb_min
+    bb_max = list(grid.bb_max)
+    changed = False
+    for a, (n, d) in enumerate(zip(parts, dims)):
+        if d % n == 0:
+            continue
+        target = ((d + n - 1) // n) * n
+        # voxel_num = int(f32(diff) / res): nudge diff just past target*res
+        world_axis = 2 - a  # array dim 0 = world z = bb component 2
+        bb_max[world_axis] = float(
+            np.float32(bb_min[world_axis])
+            + res * (target + np.float32(0.5))
+        )
+        changed = True
+    if not changed:
+        return grid
     new_grid = GridSpec(
-        bb_min=bb_min,
-        bb_max=(grid.bb_max[0], grid.bb_max[1], float(new_z)),
-        resolution=grid.resolution,
+        bb_min=bb_min, bb_max=tuple(bb_max), resolution=grid.resolution
     )
-    assert new_grid.shape_zyx[0] == target, (
-        new_grid.shape_zyx, target
+    want = tuple(
+        ((d + n - 1) // n) * n for n, d in zip(parts, dims)
     )
+    assert new_grid.shape_zyx == want, (new_grid.shape_zyx, want)
     return new_grid

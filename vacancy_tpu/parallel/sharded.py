@@ -1,24 +1,30 @@
 """Sharded fusion + marching cubes over a device mesh (shard_map + ppermute).
 
 Replaces the reference's OpenMP z-slice threading (``voxel_carver.cc:
-439-442``) with grid block-sharding over ICI/DCN:
+439-442``) with grid block-sharding over ICI/DCN. The mesh may have 1,
+2, or 3 grid-named axes ("z"), ("z", "y"), ("z", "y", "x") -- SURVEY
+section 7 stage 6's "block partition on (x, y) or (x, y, z) axes" --
+so flat/wide grids can shard and device counts are not capped by nz:
 
-  * **fusion**: pure data parallel over z blocks -- zero communication;
-    cameras/SDF images replicated, voxel centers computed from the
-    shard-local z slice.
-  * **marching cubes**: needs a one-voxel neighborhood across block seams
-    (``marching_cubes.cc:92-101``), resolved with a single explicit halo
-    exchange over `jax.lax.ppermute` (one voxel plane of sdf AND
-    update_num from each z neighbor -- cube validity needs both, SURVEY
-    section 7 hard-part 4). Each shard then extracts its halo-extended
-    block: through the FUSED Pallas kernel (marching_cubes_fused_sharded,
-    the single-process TPU default) or the XLA slab-emission core
-    (``ops.marching_cubes._slab_emit``, the multi-process path with
-    per-shard piece files). Vertices are keyed by their canonical edge's
-    global owner id and faces reference vertices by global edge key, so
-    the host assembly reproduces the dense mesh EXACTLY -- same vertex
-    order, same face order, watertight seams by construction
-    (tests/test_sharding.py asserts array equality for both cores).
+  * **fusion**: pure data parallel over grid blocks -- zero
+    communication; cameras/SDF images replicated, voxel centers sliced
+    per axis from each shard's block.
+  * **marching cubes**: needs a one-voxel neighborhood across block
+    seams (``marching_cubes.cc:92-101``), resolved with a SEQUENTIAL
+    per-axis halo exchange over `jax.lax.ppermute` (SURVEY section 7:
+    "three axis-ppermutes"): each axis sends one boundary slice of the
+    already-extended block -- sdf AND update_num, cube validity needs
+    both -- so later axes carry earlier axes' halos along and the
+    edge/corner voxels of the block arrive without any diagonal sends.
+    Each shard then extracts its halo-extended block: through the FUSED
+    Pallas kernel (marching_cubes_fused_sharded; any mesh rank) or the
+    XLA slab-emission core (``ops.marching_cubes._slab_emit``, z-only
+    meshes). Vertices are keyed by their canonical edge's global owner
+    id and faces reference vertices by global edge key, so the host
+    assembly reproduces the dense mesh EXACTLY -- same vertex order,
+    same face order, watertight seams by construction
+    (tests/test_sharding.py asserts array equality for both cores and
+    for z / (z, y) / (z, y, x) meshes).
 """
 
 from __future__ import annotations
@@ -45,8 +51,42 @@ from ..ops.marching_cubes import (
     _slab_emit,
     _slice_to_host,
 )
+from .mesh_utils import GRID_AXES, mesh_grid_axes
 
 AXIS = "z"
+
+
+def _grid_parts(mesh: Mesh) -> Tuple[int, int, int]:
+    """(pz, py, px) shard counts; grid-named mesh axes only."""
+    if not set(mesh.axis_names) <= set(GRID_AXES):
+        raise ValueError(
+            f"sharded drivers need grid-named mesh axes {GRID_AXES}, "
+            f"got {mesh.axis_names}"
+        )
+    return mesh_grid_axes(mesh)
+
+
+def _present_axes(mesh: Mesh) -> Tuple[str, ...]:
+    return tuple(a for a in GRID_AXES if a in mesh.axis_names)
+
+
+def _state_spec(mesh: Mesh) -> P:
+    """[Z, Y, X] grid-state arrays: block-partitioned per present axis."""
+    return P(*(a if a in mesh.axis_names else None for a in GRID_AXES))
+
+
+def _center_specs(mesh: Mesh) -> Tuple[P, P, P]:
+    """Specs for the 1-D (cz, cy, cx) voxel-center arrays."""
+    return tuple(
+        P(a) if a in mesh.axis_names else P() for a in GRID_AXES
+    )
+
+
+def _stack_spec(mesh: Mesh) -> P:
+    """Per-shard [B, r, c] outputs stacked on dim 0 over every mesh
+    axis, z-major -- ascending stacked order IS ascending (z, y, x)
+    shard-block order."""
+    return P(_present_axes(mesh), None, None)
 
 
 # ----------------------------------------------------------------------
@@ -68,10 +108,11 @@ def carve_views_sharded(
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     mesh: Optional[Mesh] = None,
 ) -> VoxelGridState:
-    """Shard-mapped multi-view fusion: each device fuses its z block.
+    """Shard-mapped multi-view fusion: each device fuses its grid block.
 
     Zero-communication data parallelism over space: every voxel's update
     depends only on its own position plus the replicated cameras/images.
+    Any grid mesh rank (z / (z, y) / (z, y, x) blocks).
     """
     assert mesh is not None
     if w2c.ndim == 2:
@@ -84,12 +125,12 @@ def carve_views_sharded(
         roi = (0, 0, w - 1, h - 1)
 
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
-    cz_full = jnp.asarray(grid.axis_centers(2))  # f32[Z], sharded below
-    cx = jnp.asarray(grid.axis_centers(0))
-    cy = jnp.asarray(grid.axis_centers(1))
+    cz_full = jnp.asarray(grid.axis_centers(2))
+    cy_full = jnp.asarray(grid.axis_centers(1))
+    cx_full = jnp.asarray(grid.axis_centers(0))
 
-    def local_fn(sdf, un, cz, w2c_, pp_, fl_, imgs_, maxs_):
-        # local voxel centers from the shard's slice of z centers
+    def local_fn(sdf, un, cz, cy, cx, w2c_, pp_, fl_, imgs_, maxs_):
+        # local voxel centers from the shard's per-axis center slices
         zz, yy, xx = jnp.meshgrid(cz, cy, cx, indexing="ij")
         pos = jnp.stack([xx, yy, zz], axis=-1)
         new_sdf, new_un = fold_views(
@@ -97,20 +138,20 @@ def carve_views_sharded(
         )
         return new_sdf, new_un
 
+    czs, cys, cxs = _center_specs(mesh)
+    st = _state_spec(mesh)
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
-            P(AXIS, None, None),
-            P(AXIS, None, None),
-            P(AXIS),
+            st, st, czs, cys, cxs,
             P(), P(), P(), P(), P(),
         ),
-        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=(st, st),
     )
     new_sdf, new_un = fn(
-        state.sdf, state.update_num, cz_full, w2c, principal_point,
-        focal_length, sdf_images, max_sdfs,
+        state.sdf, state.update_num, cz_full, cy_full, cx_full, w2c,
+        principal_point, focal_length, sdf_images, max_sdfs,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)
 
@@ -120,18 +161,71 @@ def carve_views_sharded(
 # ----------------------------------------------------------------------
 
 
-def _ppermute_fwd(x, n):
+def _pperm_fwd(x, axis_name, n):
     """Send to the previous shard: shard k receives shard k+1's payload."""
     return jax.lax.ppermute(
-        x, AXIS, [(i, (i - 1) % n) for i in range(n)]
+        x, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
+
+
+def _pperm_bwd(x, axis_name, n):
+    """Send to the next shard: shard k receives shard k-1's payload."""
+    return jax.lax.ppermute(
+        x, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+
+
+def _ppermute_fwd(x, n):
+    return _pperm_fwd(x, AXIS, n)
 
 
 def _ppermute_bwd(x, n):
-    """Send to the next shard: shard k receives shard k-1's payload."""
-    return jax.lax.ppermute(
-        x, AXIS, [(i, (i + 1) % n) for i in range(n)]
-    )
+    return _pperm_bwd(x, AXIS, n)
+
+
+def _halo_extend(sdf, un, centers, parts):
+    """Sequential per-axis one-voxel halo exchange (inside shard_map).
+
+    For each sharded grid axis in (z, y, x) order, ppermute one boundary
+    slice of the CURRENT (already-extended on earlier axes) block in
+    each direction -- so a later axis's sends carry the earlier axes'
+    halo slices along, and the extended block's edge/corner voxels
+    (needed by MC's 4-cube edge adjacency, e.g. the cube based at
+    (k-1, j-1, i)) arrive without diagonal sends. Boundary shards
+    overwrite their missing-neighbor halo with the InvalidSdf sentinel:
+    an out-of-grid neighbor IS an invalid voxel, so dense semantics are
+    preserved exactly.
+
+    centers = (cz, cy, cx) local 1-D center slices; each sharded axis's
+    center vector gains its neighbors' boundary centers (sentinel +-1
+    at the grid boundary -- the value is never read through a valid
+    path). Returns (sdf_ext, un_ext, (cz_e, cy_e, cx_e))."""
+    centers = list(centers)
+    for dim, (axname, n) in enumerate(zip(GRID_AXES, parts)):
+        if n == 1:
+            continue
+        idx = jax.lax.axis_index(axname)
+        is_lo = idx == 0
+        is_hi = idx == n - 1
+
+        def ext(a, sent):
+            first = jax.lax.slice_in_dim(a, 0, 1, axis=dim)
+            last = jax.lax.slice_in_dim(
+                a, a.shape[dim] - 1, a.shape[dim], axis=dim
+            )
+            nxt = _pperm_fwd(first, axname, n)
+            prv = _pperm_bwd(last, axname, n)
+            nxt = jnp.where(is_hi, sent, nxt)
+            prv = jnp.where(is_lo, sent, prv)
+            return jnp.concatenate([prv, a, nxt], axis=dim)
+
+        sdf = ext(sdf, jnp.asarray(INVALID_SDF, sdf.dtype))
+        un = ext(un, jnp.asarray(0, un.dtype))
+        c = centers[dim]
+        cn = jnp.where(is_hi, c[-1] + 1.0, _pperm_fwd(c[:1], axname, n))
+        cp = jnp.where(is_lo, c[0] - 1.0, _pperm_bwd(c[-1:], axname, n))
+        centers[dim] = jnp.concatenate([cp, c, cn])
+    return sdf, un, tuple(centers)
 
 
 @partial(
@@ -164,8 +258,17 @@ def marching_cubes_sharded(
     Returns, stacked along the shard axis:
       v_counts i32[n, 3]; per axis a: vx/vy/vz/vlin [n*vertex_capacity];
       f_counts i32[n]; per corner j: f_ax/f_lin [n*face_capacity].
+
+    z-axis meshes only -- multi-axis (z, y[, x]) meshes route through
+    the fused Pallas driver (marching_cubes_fused_sharded), whose
+    kernel carries the y/x emission windows.
     """
     assert mesh is not None
+    if _grid_parts(mesh)[1:] != (1, 1):
+        raise ValueError(
+            "marching_cubes_sharded supports z-axis meshes only; use "
+            "extract_mesh_fused_sharded for (z, y[, x]) meshes"
+        )
     n = mesh.shape[AXIS]
     nz, ny, nx = state.sdf.shape
     lz = nz // n
@@ -248,68 +351,65 @@ def marching_cubes_fused_sharded(
 ):
     """Sharded marching cubes through the FUSED Pallas kernel.
 
-    Same halo exchange as marching_cubes_sharded, but each shard runs
-    ops/mc_fused.mc_fused_call on its halo-extended block: the kernel's
-    plane-emission window (own_k) silences the two halo planes and its
-    z base offsets linear ids to global, so the stacked per-step streams
-    across shards are already in global (z, y, x) order and the plain
-    fused assembly (finish_fused_extract) applies unchanged -- the mesh
-    is byte-identical to the single-device fused/dense extraction.
+    Each shard halo-extends its block (_halo_extend: one sequential
+    ppermute pair per sharded axis) and runs ops/mc_fused.mc_fused_call
+    on it: the kernel's emission windows (own_k / own_j / own_i)
+    silence every halo plane/row/lane and the z / (y, x) base inputs
+    make linear ids GLOBAL. A z-only mesh's stacked per-step streams
+    are already in global (z, y, x) order; multi-axis meshes interleave
+    and the assembly restores order with a stable sort on the global
+    ids (see assemble_fused_streams) -- the mesh is byte-identical to
+    the single-device fused/dense extraction either way.
     """
     from ..ops.mc_fused import mc_fused_call
 
     assert mesh is not None
-    n = mesh.shape[AXIS]
+    pz, py, px = _grid_parts(mesh)
     nz, ny, nx = state.sdf.shape
-    lz = nz // n
+    lz, ly, lx = nz // pz, ny // py, nx // px
 
-    cx = jnp.asarray(grid.axis_centers(0))
-    cy = jnp.asarray(grid.axis_centers(1))
+    cx_full = jnp.asarray(grid.axis_centers(0))
+    cy_full = jnp.asarray(grid.axis_centers(1))
     cz_full = jnp.asarray(grid.axis_centers(2))
 
-    def local_fn(sdf, un, cz, cx_, cy_):
-        k = jax.lax.axis_index(AXIS)
-        sdf_next = _ppermute_fwd(sdf[:1], n)
-        un_next = _ppermute_fwd(un[:1], n)
-        sdf_prev = _ppermute_bwd(sdf[-1:], n)
-        un_prev = _ppermute_bwd(un[-1:], n)
-        cz_next = _ppermute_fwd(cz[:1], n)
-        cz_prev = _ppermute_bwd(cz[-1:], n)
-        invalid = jnp.full_like(sdf_next, INVALID_SDF)
-        sdf_next = jnp.where(k == n - 1, invalid, sdf_next)
-        un_next = jnp.where(k == n - 1, 0, un_next)
-        sdf_prev = jnp.where(k == 0, invalid, sdf_prev)
-        un_prev = jnp.where(k == 0, 0, un_prev)
-        cz_next = jnp.where(k == n - 1, cz[-1] + 1.0, cz_next)
-        cz_prev = jnp.where(k == 0, cz[0] - 1.0, cz_prev)
-
-        sdf_ext = jnp.concatenate([sdf_prev, sdf, sdf_next], axis=0)
-        un_ext = jnp.concatenate([un_prev, un, un_next], axis=0)
-        cz_ext = jnp.concatenate([cz_prev, cz, cz_next], axis=0)
-
+    def local_fn(sdf, un, cz, cy, cx):
+        sdf_ext, un_ext, (cz_e, cy_e, cx_e) = _halo_extend(
+            sdf, un, (cz, cy, cx), (pz, py, px)
+        )
+        # global coordinate of the local block's origin (plane/row/lane
+        # 0 is the -axis halo where that axis is sharded)
+        zb = jax.lax.axis_index("z") * lz - 1 if pz > 1 else None
+        yb = jax.lax.axis_index("y") * ly - 1 if py > 1 else 0
+        xb = jax.lax.axis_index("x") * lx - 1 if px > 1 else 0
+        multi = py > 1 or px > 1
         return mc_fused_call(
             sdf_ext,
             (un_ext >= 1).astype(jnp.int8),
-            cx_, cy_, cz_ext,
-            k * lz - 1,  # global z of local plane 0 (the -z halo)
+            cx_e, cy_e, cz_e,
+            zb,
             y_parts=y_parts,
             iso_level=float(iso_level),
             linear_interp=bool(linear_interp),
             rows_e=rows_e,
             rows_c=rows_c,
-            own_k=(1, lz + 1),  # halo planes emit nothing
+            own_k=(1, lz + 1) if pz > 1 else None,
+            own_j=(1, ly + 1) if py > 1 else None,
+            own_i=(1, lx + 1) if px > 1 else None,
+            gdims=(ny, nx) if multi else None,
+            yx_base=(yb, xb) if multi else None,
             interpret=interpret,
         )
 
-    vec3 = P(AXIS, None, None)
+    czs, cys, cxs = _center_specs(mesh)
+    st3 = _state_spec(mesh)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(vec3, vec3, P(AXIS), P(), P()),
-        out_specs=(vec3,) * 9,
+        in_specs=(st3, st3, czs, cys, cxs),
+        out_specs=(_stack_spec(mesh),) * 9,
         check_vma=False,  # Pallas calls carry no varying-mesh-axes info
     )
-    return fn(state.sdf, state.update_num, cz_full, cx, cy)
+    return fn(state.sdf, state.update_num, cz_full, cy_full, cx_full)
 
 
 def extract_mesh_fused_sharded(
@@ -344,18 +444,23 @@ def extract_mesh_fused_sharded(
             "piece_dir reachable from every host"
         )
     nz, ny, nx = state.sdf.shape
-    n = mesh.shape[AXIS]
-    lz = nz // n
+    pz, py, px = _grid_parts(mesh)
+    n = pz * py * px
+    multi = py > 1 or px > 1
+    # local halo-extended block dims (each sharded axis gains 2)
+    dz = nz // pz + (2 if pz > 1 else 0)
+    dy = ny // py + (2 if py > 1 else 0)
+    dx = nx // px + (2 if px > 1 else 0)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    h = pick_y_parts(ny, nx)
+    h = pick_y_parts(dy, dx)
     if h is None:
         raise ValueError(
-            f"grid plane {ny}x{nx} cannot be y-partitioned for the "
-            "fused kernel; use extract_mesh_sharded"
+            f"local block plane {dy}x{dx} cannot be y-partitioned for "
+            "the fused kernel; use extract_mesh_sharded"
         )
-    ny2 = ny // h
-    steps_per_shard = (lz + 2) * h
+    ny2 = dy // h
+    steps_per_shard = dz * h
     # see extract_mesh_fused: the floor scales with the sub-plane
     rows_e = rows_c = min(ny2 + 2, rows_hint or max(2, ny2 // 8))
     for _ in range(8):
@@ -396,19 +501,20 @@ def extract_mesh_fused_sharded(
             counts = np.asarray(jnp.ravel(outs[8])).reshape(-1, 8)
             need_e = int(counts[:, :3].max(initial=0))
             need_c = int(counts[:, 3].max(initial=0))
-        if need_e <= rows_e * nx and need_c <= rows_c * nx:
+        if need_e <= rows_e * dx and need_c <= rows_c * dx:
             break
-        rows_e = min(ny2 + 2, max(rows_e * 2, -(-need_e // nx)))
-        rows_c = min(ny2 + 2, max(rows_c * 2, -(-need_c // nx)))
+        rows_e = min(ny2 + 2, max(rows_e * 2, -(-need_e // dx)))
+        rows_c = min(ny2 + 2, max(rows_c * 2, -(-need_c // dx)))
     else:
         raise RuntimeError(
             "sharded fused MC capacity loop failed to converge"
         )
     if multiproc:
         return _emit_fused_pieces_and_assemble(
-            outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir
+            outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir,
+            sort=multi,
         )
-    return finish_fused_extract(outs, counts, ny, nx, grid)
+    return finish_fused_extract(outs, counts, ny, nx, grid, sort=multi)
 
 
 def _local_device_blocks(arr: jax.Array, block_len: int) -> dict:
@@ -435,7 +541,8 @@ def _local_count_blocks(counts: jax.Array, block_len: int) -> dict:
 
 
 def _emit_fused_pieces_and_assemble(
-    outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir
+    outs, lcounts, steps_per_shard, n, ny, nx, grid, piece_dir,
+    sort: bool = False,
 ) -> Optional[TriMesh]:
     """Multi-process finish for the fused kernel: each process packs
     its shards' streams ON DEVICE (the same _pack_all gather the
@@ -443,7 +550,10 @@ def _emit_fused_pieces_and_assemble(
     instead of the full capacity buffers), writes them as a piece
     file, barriers, and process 0 assembles (others return None).
     Piece files hold the packed i32 buffers; position streams are f32
-    bit patterns (viewed back at assembly)."""
+    bit patterns (viewed back at assembly). A multi-axis mesh passes
+    sort=True: its shard pieces interleave in y/x, and the assembly's
+    stable sort on global ids restores dense order (see
+    ops.mc_fused.assemble_fused_streams)."""
     import os
 
     from jax.experimental import multihost_utils
@@ -503,7 +613,8 @@ def _emit_fused_pieces_and_assemble(
         vlin_parts = [s.astype(np.int64) for s in (streams[1], streams[3],
                                                    streams[5])]
         out = assemble_fused_streams(
-            vpos_parts, vlin_parts, streams[6], streams[7], ny, nx, grid
+            vpos_parts, vlin_parts, streams[6], streams[7], ny, nx, grid,
+            sort=sort,
         )
     # trailing barrier: without it, a non-zero process can re-enter a
     # second extraction and truncate-rewrite its piece file while
@@ -536,7 +647,9 @@ def extract_mesh_sharded(
 
     engine="auto" runs the FUSED Pallas kernel per shard on a TPU
     backend (extract_mesh_fused_sharded) -- in any process count;
-    "xla" forces the slab-emission core.
+    "xla" forces the slab-emission core. Multi-axis (z, y[, x]) meshes
+    always route through the fused driver (its kernel carries the y/x
+    emission windows); "xla" on one raises.
 
     Single process: gathers every shard directly. Multi-process
     (``jax.process_count() > 1``): each process writes ONLY its
@@ -546,15 +659,21 @@ def extract_mesh_sharded(
     processes return None) -- the SURVEY section 5 "per-shard pieces +
     host-0 weld" path; no cross-host transfer of capacity buffers.
     Both engines emit the dense driver's exact mesh either way."""
-    n = mesh.shape[AXIS]
+    pz, py, px = _grid_parts(mesh)
+    multi = py > 1 or px > 1
     nz, ny, nx = state.sdf.shape
     multiproc = jax.process_count() > 1
     if engine not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown engine {engine!r}")
+    if multi and engine == "xla":
+        raise ValueError(
+            "the XLA slab core shards on z only; a (z, y[, x]) mesh "
+            "needs the fused engine"
+        )
     if engine != "xla":
         from ..ops.mc_fused import pick_y_parts
 
-        use_fused = engine == "fused" or (
+        use_fused = multi or engine == "fused" or (
             jax.default_backend() == "tpu"
             and min(nz, ny, nx) >= 2
             and pick_y_parts(ny, nx) is not None
@@ -565,6 +684,7 @@ def extract_mesh_sharded(
                 iso_level=iso_level, linear_interp=linear_interp,
                 piece_dir=piece_dir,
             )
+    n = pz  # z-only from here (the multi-axis meshes returned above)
     if capacity_hint is None:
         capacity_hint = max(1 << 12, int(8 * ny * nx))
     vcap = int(capacity_hint)
@@ -664,25 +784,31 @@ def _emit_pieces_and_assemble(
         )
     os.makedirs(piece_dir, exist_ok=True)
     payload = {}
-    lvp = [[_local_blocks(vp[a][c], vcap) for c in range(3)]
+    # keep each shard's block ON DEVICE and trim it to its exact count
+    # with the bucketed device slice (_slice_to_host) BEFORE the host
+    # transfer -- piece emission ships ~the real emission bytes, not the
+    # vcap/fcap capacity buffers (which would crawl through a real
+    # pod's host links)
+    dvp = [[_local_device_blocks(vp[a][c], vcap) for c in range(3)]
            for a in range(3)]
-    lvl = [_local_blocks(vl[a], vcap) for a in range(3)]
-    lfa = [_local_blocks(fa[j], fcap) for j in range(3)]
-    lfl = [_local_blocks(fl[j], fcap) for j in range(3)]
+    dvl = [_local_device_blocks(vl[a], vcap) for a in range(3)]
+    dfa = [_local_device_blocks(fa[j], fcap) for j in range(3)]
+    dfl = [_local_device_blocks(fl[j], fcap) for j in range(3)]
     for k, counts in lvc.items():
         counts = counts.reshape(3)
         for a in range(3):
             n_k = int(counts[a])
             payload[f"k{k}_pos{a}"] = np.stack(
-                [lvp[a][c][k][:n_k] for c in range(3)], axis=-1
+                [_slice_to_host(dvp[a][c][k], n_k) for c in range(3)],
+                axis=-1,
             )
-            payload[f"k{k}_lin{a}"] = lvl[a][k][:n_k]
+            payload[f"k{k}_lin{a}"] = _slice_to_host(dvl[a][k], n_k)
         m_k = int(lfc[k].reshape(()))
         payload[f"k{k}_fax"] = np.stack(
-            [lfa[j][k][:m_k] for j in range(3)], axis=-1
+            [_slice_to_host(dfa[j][k], m_k) for j in range(3)], axis=-1
         )
         payload[f"k{k}_flin"] = np.stack(
-            [lfl[j][k][:m_k] for j in range(3)], axis=-1
+            [_slice_to_host(dfl[j][k], m_k) for j in range(3)], axis=-1
         )
     pid = jax.process_index()
     np.savez(os.path.join(piece_dir, f"mc_pieces_proc{pid}.npz"), **payload)
@@ -729,10 +855,12 @@ def carve_views_warp_sharded(
 ) -> VoxelGridState:
     """Sharded multi-view fusion through the projective-warp engine.
 
-    The two-pass warp (ops/fusion_warp.py) is separable per z slice, so
-    each shard warps against its own slice of z centers -- still zero
-    communication, same bit-exact update semantics as the single-device
-    warp engine restricted to the shard's block.
+    The warp is a per-voxel closed form in the (cx, cy, cz) center
+    vectors (both interpolation passes gather per output element), so
+    each shard warps against its own per-axis center slices -- still
+    zero communication on ANY grid mesh rank (z / (z, y) / (z, y, x)
+    blocks), same bit-exact update semantics as the single-device warp
+    engine restricted to the shard's block.
     """
     from ..ops.fusion import apply_view_update
     from ..ops.fusion_warp import _warp_dist_one_view
@@ -746,12 +874,12 @@ def carve_views_warp_sharded(
         sdf_images = sdf_images[None]
     _, h, w = sdf_images.shape
 
-    cx = jnp.asarray(grid.axis_centers(0))
-    cy = jnp.asarray(grid.axis_centers(1))
+    cx_full = jnp.asarray(grid.axis_centers(0))
+    cy_full = jnp.asarray(grid.axis_centers(1))
     cz_full = jnp.asarray(grid.axis_centers(2))
     max_sdfs = jnp.max(sdf_images, axis=(1, 2))
 
-    def local_fn(sdf, un, cz, w2c_, pp_, fl_, imgs_, maxs_):
+    def local_fn(sdf, un, cz, cy, cx, w2c_, pp_, fl_, imgs_, maxs_):
         from ..ops.fusion_warp import _fused_view_chunk
 
         vchunk = _fused_view_chunk(*sdf.shape[1:], imgs_)
@@ -790,21 +918,23 @@ def carve_views_warp_sharded(
         )
         return s, u
 
+    czs, cys, cxs = _center_specs(mesh)
+    st = _state_spec(mesh)
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
-            P(AXIS, None, None), P(AXIS, None, None), P(AXIS),
+            st, st, czs, cys, cxs,
             P(), P(), P(), P(), P(),
         ),
-        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=(st, st),
         # the Pallas lane-gather kernel inside the warp engine does not
         # carry varying-mesh-axes metadata; skip the vma check
         check_vma=False,
     )
     new_sdf, new_un = fn(
-        state.sdf, state.update_num, cz_full, w2c, principal_point,
-        focal_length, sdf_images, max_sdfs,
+        state.sdf, state.update_num, cz_full, cy_full, cx_full, w2c,
+        principal_point, focal_length, sdf_images, max_sdfs,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)
 
