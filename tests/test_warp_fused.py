@@ -214,6 +214,28 @@ def test_fused_x_partitioned_equals_full_plane(x_part):
         )
 
 
+@pytest.mark.parametrize("z_batch", [2, 4])
+def test_fused_z_batched_equals_per_plane(z_batch):
+    """z_batch > 1 (several planes per grid step, statically unrolled)
+    is bit-identical to the per-plane kernel -- planes are independent
+    and each keeps its view order."""
+    grid, state, w2c, pp, fl, imgs = _setup(nz=4, ny=128, nx=128,
+                                            n_views=2)
+    opt = VoxelUpdateOption()
+    interp = jax.default_backend() != "tpu"
+    a = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+    )
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        z_batch=z_batch,
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 def test_fused_fast_divide_close_to_precise():
     """precise=False (one shared reciprocal for u*/v*) may differ from
     the precise kernel only through last-ulp motion of the projected

@@ -1,0 +1,97 @@
+"""Run the kernel byte-equality test subset ON THE REAL TPU CHIP and
+record a driver-checkable artifact (TPU_TESTS_r{N}.json).
+
+The CI suite runs these same tests in Pallas interpret mode on a CPU
+mesh; this runner re-executes them with VACANCY_TEST_TPU=1 so the real
+Mosaic kernels are compiled and the bit-identity claims
+(warp_fused/mc_fused vs their XLA reference paths) are certified
+on-chip rather than resting on docstrings (VERDICT r3 weak 8).
+
+Usage: python tools/run_tpu_tests.py [round_number]
+
+Rig caveats (CLAUDE.md): the remote-compile helper has a variable
+cold start -- warm it with a trivial kernel first -- and a killed
+in-flight compile wedges the service, so no per-test timeouts are
+imposed here; run the whole thing under a generous outer timeout only.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the on-chip byte-equality surface: both fused Pallas kernels vs their
+# XLA reference engines, the warp dispatcher, and the ortho fast path
+TEST_FILES = [
+    "tests/test_warp_fused.py",
+    "tests/test_mc_fused.py",
+    "tests/test_fusion_warp.py",
+    "tests/test_warp_ortho.py",
+]
+
+
+def main() -> int:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    out_path = os.path.join(REPO, f"TPU_TESTS_r{rnd:02d}.json")
+    xml_path = os.path.join(REPO, f"_tpu_tests_r{rnd:02d}.xml")
+    env = dict(os.environ)
+    env["VACANCY_TEST_TPU"] = "1"
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", *TEST_FILES,
+            "-q", "--durations=15", f"--junitxml={xml_path}",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    wall = time.time() - t0
+
+    tests = []
+    counts = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
+    try:
+        root = ET.parse(xml_path).getroot()
+        for case in root.iter("testcase"):
+            status = "passed"
+            for tag in ("failure", "error", "skipped"):
+                if case.find(tag) is not None:
+                    status = {"failure": "failed", "error": "errors",
+                              "skipped": "skipped"}[tag]
+                    break
+            counts[status if status in counts else "errors"] += 1
+            tests.append({
+                "id": f"{case.get('classname')}::{case.get('name')}",
+                "status": status,
+                "time_s": round(float(case.get("time", 0.0)), 3),
+            })
+    except (ET.ParseError, FileNotFoundError):
+        counts["errors"] = -1  # suite crashed before the report
+
+    import jax  # noqa: deferred so pytest subprocess owns the chip
+
+    artifact = {
+        "round": rnd,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "env": {"VACANCY_TEST_TPU": "1"},
+        "files": TEST_FILES,
+        "returncode": proc.returncode,
+        "wall_s": round(wall, 1),
+        "counts": counts,
+        "tests": tests,
+        "pytest_tail": proc.stdout[-2000:],
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    os.remove(xml_path) if os.path.exists(xml_path) else None
+    print(json.dumps({"out": out_path, "counts": counts,
+                      "wall_s": artifact["wall_s"],
+                      "returncode": proc.returncode}))
+    return 0 if proc.returncode == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -186,6 +186,7 @@ def _warp_fused_kernel(
     v_count: int, opt: VoxelUpdateOption, linear: bool, precise: bool,
     ortho: bool = False,
     roi: "tuple[int, int, int, int] | None" = None,
+    z_batch: int = 1,
 ):
     x0, y0, x1, y1 = roi or (0, 0, w - 1, h - 1)
     def kernel(
@@ -195,116 +196,126 @@ def _warp_fused_kernel(
         # the synthetic homography's divisor is identically 1, so the
         # behind-camera mask needs the true z separately)
         max_ref,  # SMEM f32[1, v]: per-image max sdf
-        sdf_ref,  # VMEM f32[1, ny, nxp] state plane x-slice
-        un_ref,  # VMEM i32[1, ny, nxp]
+        sdf_ref,  # VMEM f32[zb, ny, nxp] state plane x-slice(s)
+        un_ref,  # VMEM i32[zb, ny, nxp]
         imgs_ref,  # VMEM f32[v, h, wpad] (sentinel-clamped, lane-padded)
         cxr_ref,  # VMEM f32[1, nxp]
         cxc_ref,  # VMEM f32[nxp, 1]
         cyr_ref,  # VMEM f32[1, ny]
-        osdf_ref,  # VMEM f32[1, ny, nxp]
-        oun_ref,  # VMEM i32[1, ny, nxp]
+        osdf_ref,  # VMEM f32[zb, ny, nxp]
+        oun_ref,  # VMEM i32[zb, ny, nxp]
     ):
         k = pl.program_id(0)
-        czk = cz_ref[0, k]
 
-        # work in (NX, NY): pass 2 interpolates along image rows v with
-        # a lane gather, and the update applies in the same layout
-        sdf_t = sdf_ref[0].T
-        un_t = un_ref[0].T
         x_col = jnp.broadcast_to(cxc_ref[:], (nxp, ny))  # x per sublane
         y_row = jnp.broadcast_to(cyr_ref[:], (nxp, ny))  # y per lane
         x_row1 = cxr_ref[:]  # (1, nxp) for pass 1
 
-        def view_body(v, carry):
-            sdf_t, un_t = carry
-            c = lambda i: coef_ref[v, i]  # noqa: E731
-            r00, r01, r02 = c(0), c(1), c(2)
-            r10, r11, r12 = c(3), c(4), c(5)
-            r20, r21, r22 = c(6), c(7), c(8)
-            t0, t1, t2 = c(9), c(10), c(11)
-            fx, fy, cxp, cyp = c(12), c(13), c(14), c(15)
-            max_i = max_ref[0, v]
-            a0 = r02 * czk + t0
-            b0 = r12 * czk + t1
-            c0 = r22 * czk + t2
+        # z_batch > 1 fuses several z-planes per grid step (statically
+        # unrolled -- each plane is independent, so per-plane view order
+        # and bit-identity are preserved); the longer instruction stream
+        # lets Mosaic overlap one plane's gathers with another's update.
+        def plane_body(b):
+            czk = cz_ref[0, k * z_batch + b]
 
-            img = imgs_ref[v]  # (h, wpad)
+            # work in (NX, NY): pass 2 interpolates along image rows v
+            # with a lane gather, and the update applies in this layout
+            sdf_t = sdf_ref[b].T
+            un_t = un_ref[b].T
 
-            # ---- pass 1: horizontal resample at u_eq(vrow, x) ----
-            # (identical formulas to fusion_warp._warp_dist_one_view)
-            vbar = (
-                jax.lax.broadcasted_iota(jnp.int32, (h, nxp), 0).astype(
-                    jnp.float32
+            def view_body(v, carry):
+                sdf_t, un_t = carry
+                c = lambda i: coef_ref[v, i]  # noqa: E731
+                r00, r01, r02 = c(0), c(1), c(2)
+                r10, r11, r12 = c(3), c(4), c(5)
+                r20, r21, r22 = c(6), c(7), c(8)
+                t0, t1, t2 = c(9), c(10), c(11)
+                fx, fy, cxp, cyp = c(12), c(13), c(14), c(15)
+                max_i = max_ref[0, v]
+                a0 = r02 * czk + t0
+                b0 = r12 * czk + t1
+                c0 = r22 * czk + t2
+
+                img = imgs_ref[v]  # (h, wpad)
+
+                # ---- pass 1: horizontal resample at u_eq(vrow, x) ----
+                # (identical formulas to fusion_warp._warp_dist_one_view)
+                vbar = (
+                    jax.lax.broadcasted_iota(jnp.int32, (h, nxp), 0).astype(
+                        jnp.float32
+                    )
+                    - cyp
                 )
-                - cyp
-            )
-            xr = jnp.broadcast_to(x_row1, (h, nxp))
-            denom = vbar * r21 - fy * r11
-            safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-            y_star = (fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)) / safe
-            s_star = c0 + r20 * xr + r21 * y_star
-            s_safe = jnp.where(jnp.abs(s_star) < 1e-12, 1e-12, s_star)
-            u_eq = fx * (a0 + r00 * xr + r01 * y_star) / s_safe + cxp
-            u_eq = jnp.clip(
-                jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
-            )
-            inter = _interp_inline(
-                img, u_eq, w, linear, x0, x1
-            )  # (h, nxp)
+                xr = jnp.broadcast_to(x_row1, (h, nxp))
+                denom = vbar * r21 - fy * r11
+                safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+                y_star = (fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)) / safe
+                s_star = c0 + r20 * xr + r21 * y_star
+                s_safe = jnp.where(jnp.abs(s_star) < 1e-12, 1e-12, s_star)
+                u_eq = fx * (a0 + r00 * xr + r01 * y_star) / s_safe + cxp
+                u_eq = jnp.clip(
+                    jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
+                )
+                inter = _interp_inline(
+                    img, u_eq, w, linear, x0, x1
+                )  # (h, nxp)
 
-            # lane-pad the transposed intermediate for the pass-2 gather
-            # (concatenate: .at[].set on a value lowers to scatter, which
-            # has no Mosaic rule)
-            inter_t = jnp.concatenate(
-                [inter.T, jnp.zeros((nxp, hpad - h), jnp.float32)], axis=1
-            ) if hpad != h else inter.T
+                # lane-pad the transposed intermediate for the pass-2 gather
+                # (concatenate: .at[].set on a value lowers to scatter, which
+                # has no Mosaic rule)
+                inter_t = jnp.concatenate(
+                    [inter.T, jnp.zeros((nxp, hpad - h), jnp.float32)], axis=1
+                ) if hpad != h else inter.T
 
-            # ---- pass 2 + masks at the exact projection ----
-            s_ = c0 + r20 * x_col + r21 * y_row
-            q_ = b0 + r10 * x_col + r11 * y_row
-            p_ = a0 + r00 * x_col + r01 * y_row
-            if precise:
-                v_star = fy * q_ / s_ + cyp
-                u_star = fx * p_ / s_ + cxp
-            else:
-                # one shared reciprocal for both projected coordinates:
-                # last-ulp divergence from the two-pass engine, ~half
-                # the divide cost (the kernel is compute-bound here)
-                r_ = 1.0 / s_
-                v_star = fy * q_ * r_ + cyp
-                u_star = fx * p_ * r_ + cxp
-            v_pos = jnp.clip(
-                jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
+                # ---- pass 2 + masks at the exact projection ----
+                s_ = c0 + r20 * x_col + r21 * y_row
+                q_ = b0 + r10 * x_col + r11 * y_row
+                p_ = a0 + r00 * x_col + r01 * y_row
+                if precise:
+                    v_star = fy * q_ / s_ + cyp
+                    u_star = fx * p_ / s_ + cxp
+                else:
+                    # one shared reciprocal for both projected coordinates:
+                    # last-ulp divergence from the two-pass engine, ~half
+                    # the divide cost (the kernel is compute-bound here)
+                    r_ = 1.0 / s_
+                    v_star = fy * q_ * r_ + cyp
+                    u_star = fx * p_ * r_ + cxp
+                v_pos = jnp.clip(
+                    jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
+                )
+                dist = _interp_inline(
+                    inter_t, v_pos, h, linear, y0, y1
+                )  # (nxp, ny)
+
+                if ortho:
+                    rz0, rz1, rz2, rt = c(16), c(17), c(18), c(19)
+                    behind = (
+                        rz0 * x_col + rz1 * y_row + rz2 * czk + rt
+                    ) < 0
+                else:
+                    behind = s_ < 0
+                bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
+                outside = (
+                    (u_star < x0) | (v_star < y0)
+                    | (u_star > x1) | (v_star > y1)
+                )
+                skip = behind | bad
+                if opt.update_outside == UpdateOutsideImage.NONE:
+                    skip = skip | outside
+                elif opt.update_outside == UpdateOutsideImage.MAX:
+                    dist = jnp.where(outside, max_i, dist)
+                sdf_t, un_t = apply_view_update(sdf_t, un_t, dist, skip, opt)
+                return sdf_t, un_t
+
+            sdf_t, un_t = jax.lax.fori_loop(
+                0, v_count, view_body, (sdf_t, un_t)
             )
-            dist = _interp_inline(
-                inter_t, v_pos, h, linear, y0, y1
-            )  # (nxp, ny)
+            osdf_ref[b] = sdf_t.T
+            oun_ref[b] = un_t.T
 
-            if ortho:
-                rz0, rz1, rz2, rt = c(16), c(17), c(18), c(19)
-                behind = (
-                    rz0 * x_col + rz1 * y_row + rz2 * czk + rt
-                ) < 0
-            else:
-                behind = s_ < 0
-            bad = ~(jnp.isfinite(u_star) & jnp.isfinite(v_star))
-            outside = (
-                (u_star < x0) | (v_star < y0)
-                | (u_star > x1) | (v_star > y1)
-            )
-            skip = behind | bad
-            if opt.update_outside == UpdateOutsideImage.NONE:
-                skip = skip | outside
-            elif opt.update_outside == UpdateOutsideImage.MAX:
-                dist = jnp.where(outside, max_i, dist)
-            sdf_t, un_t = apply_view_update(sdf_t, un_t, dist, skip, opt)
-            return sdf_t, un_t
-
-        sdf_t, un_t = jax.lax.fori_loop(
-            0, v_count, view_body, (sdf_t, un_t)
-        )
-        osdf_ref[0] = sdf_t.T
-        oun_ref[0] = un_t.T
+        for b in range(z_batch):
+            plane_body(b)
 
     return kernel
 
@@ -326,12 +337,15 @@ def warp_fuse_planes(
     x_part: "int | None" = None,
     ortho_rows: "jax.Array | None" = None,  # f32[V, 4] real z rows
     roi: "tuple[int, int, int, int] | None" = None,
+    z_batch: int = 1,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
     Unaligned NX/NY auto-pad to 128-multiples when plane_pad_dims allows
     it; planes wider than the VMEM budget
     are x-partitioned (x_part overrides the auto pick, for tests).
+    z_batch statically unrolls several z-planes per grid step (an
+    experiment knob; requires nz % z_batch == 0, bit-identical output).
     With ortho_rows the caller passes the SYNTHETIC orthographic
     homography (third row (0,0,0,1), unit focal, zero principal point)
     plus each view's real camera-z row for the behind mask. roi is the
@@ -352,12 +366,13 @@ def warp_fuse_planes(
             jnp.pad(un, ((0, 0), (0, nyq - ny), (0, nxq - nx))),
             _extend_centers(cx, nxq), _extend_centers(cy, nyq), cz,
             w2c, principal_point, focal_length, sdf_images, opt, linear,
-            interpret, precise, x_part, ortho_rows, roi,
+            interpret, precise, x_part, ortho_rows, roi, z_batch,
         )
         return s2[:, :ny, :nx], u2[:, :ny, :nx]
     nxp = x_part or _pick_x_part(ny, nx)
     assert nxp is not None and nx % nxp == 0, (nx, ny, nxp)
     n_xp = nx // nxp
+    assert nz % z_batch == 0, (nz, z_batch)
 
     wpad = -(-w // _LANE) * _LANE
     hpad = -(-h // _LANE) * _LANE
@@ -382,9 +397,11 @@ def warp_fuse_planes(
         nz, ny, nxp, h, w, hpad, v_count, opt, linear, precise,
         ortho=ortho,
         roi=tuple(int(v) for v in roi) if roi is not None else None,
+        z_batch=z_batch,
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
-        (1, ny, nxp), lambda k, xp: (k, 0, xp), memory_space=pltpu.VMEM
+        (z_batch, ny, nxp), lambda k, xp: (k, 0, xp),
+        memory_space=pltpu.VMEM,
     )
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda k, xp: tuple(0 for _ in shape),
@@ -392,7 +409,7 @@ def warp_fuse_planes(
     )
     new_sdf, new_un = pl.pallas_call(
         kernel,
-        grid=(nz, n_xp),
+        grid=(nz // z_batch, n_xp),
         in_specs=[
             smem((1, nz)),
             smem((v_count, 20 if ortho else 16)),
@@ -433,7 +450,7 @@ def warp_fuse_planes(
 @partial(
     jax.jit,
     static_argnames=("grid", "opt", "linear", "interpret", "precise",
-                     "x_part", "roi"),
+                     "x_part", "roi", "z_batch"),
 )
 def carve_views_warp_fused(
     state: VoxelGridState,
@@ -448,6 +465,7 @@ def carve_views_warp_fused(
     precise: bool = True,
     x_part: "int | None" = None,
     roi: "tuple[int, int, int, int] | None" = None,
+    z_batch: int = 1,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
@@ -465,5 +483,6 @@ def carve_views_warp_fused(
         jnp.asarray(grid.axis_centers(2)),
         w2c, principal_point, focal_length, sdf_images,
         opt, linear, interpret, precise, x_part, roi=roi,
+        z_batch=z_batch,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)
