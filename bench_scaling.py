@@ -34,10 +34,20 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true",
                    help="force a virtual CPU mesh of --devices devices")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--shape", type=str, default="",
+                   help="comma-separated multi-axis mesh shape for the "
+                        "top device count, e.g. 2,4 or 2,2,2 "
+                        "(default: 1-D z mesh)")
     args = p.parse_args()
+    shape = tuple(int(s) for s in args.shape.split(",")) if args.shape \
+        else None
 
     if args.cpu:
         n_dev = args.devices or 8
+        if shape is not None:
+            import math
+
+            n_dev = max(n_dev, math.prod(shape))
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -68,9 +78,16 @@ def main() -> None:
     counts = [k for k in (1, 2, 4, 8, 16, 32) if k <= max_dev]
     if max_dev not in counts:
         counts.append(max_dev)
+    if shape is not None:
+        # replace the top 1-D count with the requested block mesh
+        import math
+
+        counts = [k for k in counts if k < math.prod(shape)]
+        counts.append(shape)
     results = []
     for k in counts:
-        mesh = make_device_mesh(k)
+        mesh = make_device_mesh(k if isinstance(k, int) else None,
+                                shape=None if isinstance(k, int) else k)
         state = VoxelGridState.create(grid, sharding=grid_sharding(mesh))
 
         def step(st):
@@ -87,21 +104,22 @@ def main() -> None:
         float(jnp.sum(cur.sdf))
         dt = (time.perf_counter() - t0) / args.iters
         rate = grid.num_voxels * args.views / dt
-        results.append((k, rate))
-        eff = rate / (results[0][1] * k) if k > 1 else 1.0
+        nk = k if isinstance(k, int) else mesh.size
+        results.append((nk, rate))
+        eff = rate / (results[0][1] * nk) if nk > 1 else 1.0
         print(json.dumps({
-            "devices": k,
+            "devices": k if isinstance(k, int) else list(k),
             "fusions_per_s": round(rate, 1),
             "scaling_efficiency": round(eff, 4),
         }), flush=True)
 
     if len(results) > 1:
-        k, rate = results[-1]
+        nk, rate = results[-1]
         print(json.dumps({
-            "metric": f"scaling_efficiency_{k}dev",
-            "value": round(rate / (results[0][1] * k), 4),
+            "metric": f"scaling_efficiency_{nk}dev",
+            "value": round(rate / (results[0][1] * nk), 4),
             "unit": "fraction",
-            "vs_baseline": round(rate / (results[0][1] * k) / 0.8, 4),
+            "vs_baseline": round(rate / (results[0][1] * nk) / 0.8, 4),
         }))
 
 
