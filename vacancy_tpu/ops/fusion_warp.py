@@ -152,7 +152,14 @@ def _fused_view_chunk(
     is mathematically the single batch; the compiler may fuse
     arithmetic differently across batch shapes, so agreement is to the
     last ulp rather than bitwise (update decisions at boundaries can
-    flip on isolated voxels; the mesh-level gates are unaffected)."""
+    flip on isolated voxels; the mesh-level gates are unaffected).
+
+    INVARIANT: the chunk SIZE depends only on the image stack's shape
+    and the device VMEM budget -- never on ny/nx (those only gate
+    viability). Dense and sharded paths therefore always pick the same
+    chunk boundaries, which is what keeps their bitwise-equality
+    certification (dryrun_multichip, test_sharding) valid; a future
+    budget change that made the size plane-dependent would break it."""
     if jax.default_backend() != "tpu":
         return None
     from .warp_fused import plane_pad_dims
