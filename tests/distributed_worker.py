@@ -150,6 +150,34 @@ def main():
         )
     else:
         assert mesh_f is None
+
+    # --- multi-axis (z, y) block mesh SPANNING the two processes:
+    # warp fusion + fused-MC piece emission on a (2, 4) mesh (each
+    # process owns one z row of 4 y blocks) must reproduce the dense
+    # warp state/mesh bit-for-bit ---
+    mesh24 = make_device_mesh(shape=(2, 4))
+    sh24 = grid_sharding(mesh24)
+    st24 = carve_views_warp_sharded(
+        VoxelGridState.create(grid, sharding=sh24), grid,
+        w2c, pp, fl, imgs, opt=opt, mesh=mesh24,
+    )
+    for s_ in st24.sdf.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s_.data), dsdf[s_.index])
+    for s_ in st24.update_num.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s_.data), dun[s_.index])
+    mesh_m = extract_mesh_sharded(
+        st24, grid, mesh24, engine="fused",
+        piece_dir=os.path.join(tmpdir, "pieces_multi"),
+    )
+    if pid == 0:
+        assert mesh_m is not None
+        np.savez(
+            os.path.join(tmpdir, "result_multi.npz"),
+            vertices=mesh_m.vertices,
+            faces=mesh_m.faces,
+        )
+    else:
+        assert mesh_m is None
     print(f"proc {pid}: OK", flush=True)
 
 

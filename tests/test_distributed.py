@@ -86,3 +86,15 @@ def test_two_process_distributed(tmp_path):
     with np.load(tmp_path / "result_fused.npz") as z:
         np.testing.assert_array_equal(z["vertices"], dense.vertices)
         np.testing.assert_array_equal(z["faces"], dense.faces)
+
+    # the multi-axis (2, 4) mesh spanning both processes: warp fusion +
+    # fused-MC pieces reproduce the dense warp mesh
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+
+    dense_w = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt
+    )
+    dense_wm = extract_mesh(dense_w, grid, engine="xla")
+    with np.load(tmp_path / "result_multi.npz") as z:
+        np.testing.assert_array_equal(z["vertices"], dense_wm.vertices)
+        np.testing.assert_array_equal(z["faces"], dense_wm.faces)
