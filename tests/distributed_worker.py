@@ -165,6 +165,19 @@ def main():
         np.testing.assert_array_equal(np.asarray(s_.data), dsdf[s_.index])
     for s_ in st24.update_num.addressable_shards:
         np.testing.assert_array_equal(np.asarray(s_.data), dun[s_.index])
+
+    # per-process checkpoint round trip of the MULTI-AXIS sharded state
+    # (shard files key blocks by their full (z, y, x) offsets)
+    ckpt24 = os.path.join(tmpdir, "state_ckpt24")
+    save_state(ckpt24, st24, grid, next_view=5)
+    st24b, _, nv24, _ = load_state(ckpt24, sharding=sh24)
+    assert nv24 == 5
+    for a, b in ((st24.sdf, st24b.sdf),
+                 (st24.update_num, st24b.update_num)):
+        for s1, s2 in zip(a.addressable_shards, b.addressable_shards):
+            np.testing.assert_array_equal(
+                np.asarray(s1.data), np.asarray(s2.data)
+            )
     mesh_m = extract_mesh_sharded(
         st24, grid, mesh24, engine="fused",
         piece_dir=os.path.join(tmpdir, "pieces_multi"),

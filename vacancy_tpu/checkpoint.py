@@ -8,7 +8,7 @@ state, so resuming from a snapshot between views is trivial.
 Snapshots are .npz files. A fully-addressable state (single process)
 saves as one file at ``path``. A multi-process sharded state saves one
 file per process (``path.proc{K}``), each holding that process's
-addressable shards plus their global z offsets; ``load_state`` with a
+addressable shards plus their global (z, y, x) offsets; ``load_state`` with a
 sharding reassembles the global array from whichever local files cover
 this process's shards (``jax.make_array_from_single_device_arrays``), so
 save/load round-trips without any cross-host gather of grid data.
@@ -79,8 +79,8 @@ def save_state(
     for field in ("sdf", "update_num"):
         arr = getattr(state, field)
         for s in arr.addressable_shards:
-            z0 = s.index[0].start or 0
-            payload[f"{field}_z{z0}"] = np.asarray(s.data)
+            z0, y0, x0 = (ix.start or 0 for ix in s.index)
+            payload[f"{field}_z{z0}_y{y0}_x{x0}"] = np.asarray(s.data)
     _atomic_savez(f"{path}.proc{jax.process_index()}", **payload)
     # barrier BEFORE any cross-process read: save_state on a non-fully-
     # addressable state is necessarily collective (every process holds
@@ -99,8 +99,11 @@ def _assemble_sharded(files, shape, sharding, field: str):
     is cheap), and decompresses only the needed shard entries -- a
     process never touches peers' shard data when its own file covers it.
     """
+    def _off(idx):
+        return tuple(ix.start or 0 for ix in idx)
+
     needed = {
-        idx[0].start or 0
+        _off(idx)
         for idx in sharding.addressable_devices_indices_map(shape).values()
     }
     pieces = {}
@@ -109,21 +112,26 @@ def _assemble_sharded(files, shape, sharding, field: str):
         with np.load(f, allow_pickle=False) as z:
             for key in z.files:
                 if key.startswith(prefix):
-                    z0 = int(key[len(prefix):])
-                    if z0 in needed and z0 not in pieces:
-                        pieces[z0] = z[key]
+                    # "z{z0}_y{y0}_x{x0}"; pre-multi-axis files wrote
+                    # "z{z0}" only (their shards all start at y=x=0)
+                    parts = key[len(prefix):].split("_")
+                    off = (int(parts[0]),
+                           int(parts[1][1:]) if len(parts) > 1 else 0,
+                           int(parts[2][1:]) if len(parts) > 2 else 0)
+                    if off in needed and off not in pieces:
+                        pieces[off] = z[key]
         if needed <= pieces.keys():
             break
     arrays = []
     for d, idx in sharding.addressable_devices_indices_map(shape).items():
-        z0 = idx[0].start or 0
-        if z0 not in pieces:
+        off = _off(idx)
+        if off not in pieces:
             raise ValueError(
-                f"checkpoint shard for z={z0} not found in local files "
-                f"{files}; was the checkpoint written with a different "
-                "process layout?"
+                f"checkpoint shard for (z,y,x)={off} not found in local "
+                f"files {files}; was the checkpoint written with a "
+                "different process layout?"
             )
-        arrays.append(jax.device_put(pieces[z0], d))
+        arrays.append(jax.device_put(pieces[off], d))
     return jax.make_array_from_single_device_arrays(
         shape, sharding, arrays
     )
