@@ -206,6 +206,7 @@ def run_turntable(
     sharded: bool = False,
     tsdf: bool = True,
     out_dir: Optional[str] = None,
+    mesh_shape: "Optional[Tuple[int, ...]]" = None,
 ) -> dict:
     """Synthetic turntable blob at n^3 (BASELINE config 4)."""
     import jax
@@ -259,7 +260,7 @@ def run_turntable(
             make_device_mesh,
         )
 
-        dev_mesh = make_device_mesh()
+        dev_mesh = make_device_mesh(shape=mesh_shape)
         sharding = grid_sharding(dev_mesh)
 
         def carve():
@@ -316,6 +317,7 @@ def run_sweep(
     extract: bool = True,
     out_dir: Optional[str] = None,
     piece_dir: Optional[str] = None,
+    mesh_shape: "Optional[Tuple[int, ...]]" = None,
 ) -> dict:
     """BASELINE config 5 as one command: N^3 (default 1024^3) TSDF sweep
     over 100+ synthetic turntable views, sharded over every available
@@ -368,8 +370,8 @@ def run_sweep(
             pad_bbox_for_sharding,
         )
 
-        dev_mesh = make_device_mesh()
-        grid = pad_bbox_for_sharding(grid, len(dev_mesh.devices))
+        dev_mesh = make_device_mesh(shape=mesh_shape)
+        grid = pad_bbox_for_sharding(grid, dev_mesh)
 
         def do_carve():
             state = VoxelGridState.create(
@@ -498,6 +500,11 @@ def main(argv=None):
     s.add_argument("--process-id", type=int, default=None)
     for sp in (t, s):
         sp.add_argument(
+            "--mesh-shape", default=None, metavar="Z[,Y[,X]]",
+            help="multi-axis device mesh shape for --sharded runs, "
+            "e.g. 2,4 (z,y blocks) or 2,2,2; default: 1-D over z",
+        )
+        sp.add_argument(
             "--cpu", type=int, default=0, metavar="N",
             help="force a virtual mesh of N CPU devices (harness "
             "validation without a pod; must run before backend init)",
@@ -512,6 +519,10 @@ def main(argv=None):
             "the cache wins little; it pays off where compiles run "
             "locally",
         )
+
+    def _mesh_shape(a):
+        v = getattr(a, "mesh_shape", None)
+        return tuple(int(x) for x in v.split(",")) if v else None
 
     args = p.parse_args(argv)
     if getattr(args, "cpu", 0):
@@ -559,7 +570,7 @@ def main(argv=None):
         with profiler_trace(args.profile):
             out = run_turntable(
                 n=args.n, n_views=args.views, sharded=args.sharded,
-                out_dir=args.out,
+                out_dir=args.out, mesh_shape=_mesh_shape(args),
             )
     else:
         with profiler_trace(args.profile):
@@ -568,6 +579,7 @@ def main(argv=None):
                 sharded=not args.no_sharded,
                 extract=not args.no_extract,
                 out_dir=args.out, piece_dir=args.piece_dir,
+                mesh_shape=_mesh_shape(args),
             )
     print(json.dumps(out, default=str))
 
