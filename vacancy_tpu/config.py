@@ -108,12 +108,14 @@ class VoxelCarverOption:
 class ShardingConfig:
     """How the voxel grid is partitioned over a device mesh.
 
-    The grid is block-partitioned along the z (slowest) axis; fusion is
+    The grid is block-partitioned along z (an int device count) or over
+    2-D/3-D (z, y[, x]) blocks (a tuple mesh shape); fusion is
     embarrassingly parallel per block and marching cubes performs a
-    one-voxel halo exchange along the sharded axis (parallel/sharded.py).
+    one-voxel halo exchange per sharded axis (parallel/sharded.py).
     Build the device mesh with ``parallel.make_device_mesh(config=...)``.
     """
 
     axis_name: str = "z"
-    # Number of devices on the z axis; None means all available devices.
+    # Devices along z (int), a (z, y[, x]) mesh shape (tuple), or None
+    # for all available devices on a 1-D z mesh.
     n_devices: Tuple[int, ...] | int | None = None
