@@ -457,7 +457,9 @@ def extract_mesh_fused_sharded(
     if h is None:
         raise ValueError(
             f"local block plane {dy}x{dx} cannot be y-partitioned for "
-            "the fused kernel; use extract_mesh_sharded"
+            "the fused kernel; on a z-only mesh use extract_mesh_sharded"
+            " (XLA core), on a multi-axis mesh pick shard counts whose"
+            " local planes divide into 8-row sub-planes"
         )
     ny2 = dy // h
     steps_per_shard = dz * h
