@@ -1,0 +1,56 @@
+"""Sweep the fused warp kernel's scheduling knobs on the real chip
+(VERDICT r3 item 10): x_part x {512, 256, 128} and z_batch x {1,2,4,8}
+at the 512^3 x 24 headline config. Prints one line per point.
+
+Run AFTER warming the compile service (CLAUDE.md rig caveat):
+    python tools/sweep_warp_knobs.py [n] [views]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+import bench  # noqa: E402
+from vacancy_tpu.config import VoxelUpdateOption  # noqa: E402
+from vacancy_tpu.ops.warp_fused import carve_views_warp_fused  # noqa: E402
+
+
+def measure(step, state, grid, n_views, iters=4):
+    st = step(state)
+    float(jnp.sum(st.sdf))  # compile + full sync through the tunnel
+    t0 = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur = step(cur)
+    float(jnp.sum(cur.sdf))
+    dt = (time.perf_counter() - t0) / iters
+    return grid.num_voxels * n_views / dt, dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
+    opt = VoxelUpdateOption()
+
+    def run(tag, **kw):
+        def step(st):
+            return carve_views_warp_fused(
+                st, grid, w2c, pp, fl, imgs, opt, **kw
+            )
+        rate, dt = measure(step, state, grid, n_views)
+        print(f"{tag}: {rate / 1e9:.2f} G/s ({dt * 1e3:.1f} ms)",
+              flush=True)
+
+    run("baseline")
+    for xp in (512, 256, 128):
+        run(f"x_part={xp}", x_part=xp)
+    for zb in (2, 4, 8):
+        run(f"z_batch={zb}", z_batch=zb)
+
+
+if __name__ == "__main__":
+    main()
