@@ -446,3 +446,22 @@ def test_sharded_fused_mc_y_split_equals_dense(monkeypatch, linear_interp):
     )
     np.testing.assert_array_equal(sh.vertices, dense.vertices)
     np.testing.assert_array_equal(sh.faces, dense.faces)
+
+
+def test_pick_mesh_shape():
+    """Encodes the measured axis preference (DESIGN section 5): z first,
+    then x, then y; never exceeds an axis extent."""
+    from vacancy_tpu.parallel import pick_mesh_shape
+
+    assert pick_mesh_shape((128, 128, 128), 8) == (8, 1, 1)
+    # flat grid: z takes what it can, the rest lands on x (not y)
+    assert pick_mesh_shape((4, 128, 128), 8) == (4, 1, 2)
+    assert pick_mesh_shape((2, 128, 128), 8) == (2, 1, 4)
+    assert pick_mesh_shape((1, 256, 256), 8) == (1, 1, 8)
+    # y is used only once z and x are exhausted
+    assert pick_mesh_shape((1, 16, 2), 8) == (1, 4, 2)
+    # non-power-of-two device counts place large factors on z first
+    assert pick_mesh_shape((6, 64, 64), 6) == (6, 1, 1)
+    assert pick_mesh_shape((3, 64, 64), 6) == (3, 1, 2)
+    with pytest.raises(ValueError):
+        pick_mesh_shape((1, 1, 2), 8)

@@ -2,6 +2,7 @@ from .mesh_utils import (
     grid_sharding,
     make_device_mesh,
     pad_bbox_for_sharding,
+    pick_mesh_shape,
     replicated,
     validate_divisible,
 )

@@ -94,6 +94,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pick_mesh_shape(
+    shape_zyx: Tuple[int, int, int], n_devices: int
+) -> Tuple[int, int, int]:
+    """A (pz, py, px) block-mesh shape for ``n_devices`` devices over a
+    (nz, ny, nx) grid, encoding the measured axis preference
+    (docs/DESIGN.md section 5, SCALING_VIRTUAL.json): shard z first
+    (fully work-proportional), then x (pass 1 is separable in x), and
+    use y only as a last resort -- a y split REPLICATES the warp's
+    pass-1 resample per y shard. Each factor of n_devices lands on the
+    best axis that can still take it (axis shard count <= extent);
+    raises if the device count exceeds the voxel count bound.
+    Axes need not divide evenly -- pad with pad_bbox_for_sharding."""
+    nz, ny, nx = (int(v) for v in shape_zyx)
+    parts = [1, 1, 1]  # (pz, py, px)
+    caps = [nz, ny, nx]
+    rem = int(n_devices)
+    for f in _prime_factors(rem):
+        for axis in (0, 2, 1):  # z, then x, then y
+            if parts[axis] * f <= caps[axis]:
+                parts[axis] *= f
+                break
+        else:
+            raise ValueError(
+                f"cannot place {n_devices} devices on grid {shape_zyx}: "
+                f"stuck at {tuple(parts)} with factor {f}"
+            )
+    return tuple(parts)
+
+
+def _prime_factors(n: int):
+    """Prime factors of n, largest first (greedy placement packs big
+    factors onto z while it has room)."""
+    out = []
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            out.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return sorted(out, reverse=True)
+
+
 def validate_divisible(grid: GridSpec, n_shards, axis: str = "z") -> int:
     """The axis extent must divide evenly across shards; returns the
     block. n_shards may be an int (1-D z mesh) or a Mesh."""

@@ -258,8 +258,13 @@ def run_turntable(
             extract_mesh_sharded,
             grid_sharding,
             make_device_mesh,
+            pick_mesh_shape,
         )
 
+        if mesh_shape == "auto":
+            mesh_shape = pick_mesh_shape(
+                grid.shape_zyx, len(jax.devices())
+            )
         dev_mesh = make_device_mesh(shape=mesh_shape)
         sharding = grid_sharding(dev_mesh)
 
@@ -368,8 +373,13 @@ def run_sweep(
             grid_sharding,
             make_device_mesh,
             pad_bbox_for_sharding,
+            pick_mesh_shape,
         )
 
+        if mesh_shape == "auto":
+            mesh_shape = pick_mesh_shape(
+                grid.shape_zyx, len(jax.devices())
+            )
         dev_mesh = make_device_mesh(shape=mesh_shape)
         grid = pad_bbox_for_sharding(grid, dev_mesh)
 
@@ -500,9 +510,10 @@ def main(argv=None):
     s.add_argument("--process-id", type=int, default=None)
     for sp in (t, s):
         sp.add_argument(
-            "--mesh-shape", default=None, metavar="Z[,Y[,X]]",
+            "--mesh-shape", default=None, metavar="Z[,Y[,X]]|auto",
             help="multi-axis device mesh shape for --sharded runs, "
-            "e.g. 2,4 (z,y blocks) or 2,2,2; default: 1-D over z",
+            "e.g. 2,4 (z,y blocks), 2,2,2, or 'auto' (z first, then "
+            "x, then y -- see DESIGN section 5); default: 1-D over z",
         )
         sp.add_argument(
             "--cpu", type=int, default=0, metavar="N",
@@ -522,7 +533,11 @@ def main(argv=None):
 
     def _mesh_shape(a):
         v = getattr(a, "mesh_shape", None)
-        return tuple(int(x) for x in v.split(",")) if v else None
+        if not v:
+            return None
+        if v == "auto":
+            return "auto"
+        return tuple(int(x) for x in v.split(","))
 
     args = p.parse_args(argv)
     if getattr(args, "cpu", 0):
