@@ -14,9 +14,25 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _probe_backend():
+    """Resolve the JAX backend before any timed work. Returns
+    (backend_name, error_tail). The axon tunnel can be down for hours
+    (CLAUDE.md round-4 outage): in that case init raises UNAVAILABLE
+    after a long connect timeout, or JAX silently falls back to cpu --
+    either way a 512^3 bench must not run (hours on one core) or be
+    mislabeled as a chip number."""
+    import jax
+
+    try:
+        return jax.default_backend(), None
+    except RuntimeError as e:  # UNAVAILABLE: TPU backend setup error
+        return None, str(e)[-300:]
 
 
 def build_case(n=256, n_views=24, h=240, w=320):
@@ -126,6 +142,27 @@ def run_mc_bench(n=256, iters=3, radius=0.8):
 
 
 def main():
+    backend, err = _probe_backend()
+    cpu_ok = os.environ.get("VACANCY_BENCH_ALLOW_CPU") == "1"
+    if backend is None or (backend == "cpu" and not cpu_ok):
+        # honor the one-JSON-line contract even when the chip is gone:
+        # a null value + error field, never a stale or CPU-mislabeled
+        # number.
+        print(
+            json.dumps(
+                {
+                    "metric": "voxel_view_fusions_per_sec_per_chip_512^3",
+                    "value": None,
+                    "unit": "fusions/s",
+                    "vs_baseline": None,
+                    "error": (
+                        f"tpu backend unavailable (backend={backend}): "
+                        f"{err or 'fell back to cpu; refusing to mislabel'}"
+                    ),
+                }
+            )
+        )
+        return
     rate, _ = run_bench()
     mc_rate, mc_s, mc_verts = run_mc_bench()
     # the scale story: 512^3 extraction cost tracks surface occupancy

@@ -236,6 +236,41 @@ def test_fused_z_batched_equals_per_plane(z_batch):
     )
 
 
+@pytest.mark.parametrize("roi", [None, "clamped"], ids=["full", "roi"])
+def test_fused_tap2_bit_identical(roi):
+    """tap2 (both linear taps gathered at the shared index p0 from the
+    table and its pre-shifted copy) fetches bitwise the same values as
+    the two independent gathers, so the kernel output must be EXACTLY
+    equal -- including at the hi clamp, where the shifted table's fixed
+    lane reproduces min(p0 + 1, hi). Image sizes span two lane chunks in
+    both passes (w > 128, h > 128) so the shared chunk-select loop is
+    exercised beyond one chunk. The gate is kernel-vs-kernel: the
+    two-pass XLA engine is untouched by tap2 and its bit-parity with
+    the kernel is covered at the canonical shapes by the tests above
+    (at THESE image shapes XLA-on-CPU contracts FMAs differently
+    between the whole-program engine and the op-at-a-time interpret
+    kernel, so engine-vs-kernel is only ulp-level here)."""
+    grid, state, w2c, pp, fl, imgs = _setup(
+        nz=3, ny=128, nx=256, n_views=2, h=140, w=200
+    )
+    h, w = imgs.shape[1:]
+    roi_t = (5, 4, w - 9, h - 6) if roi == "clamped" else None
+    opt = VoxelUpdateOption()
+    interp = jax.default_backend() != "tpu"
+    a = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        roi=roi_t,
+    )
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        roi=roi_t, tap2=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 def test_fused_fast_divide_close_to_precise():
     """precise=False (one shared reciprocal for u*/v*) may differ from
     the precise kernel only through last-ulp motion of the projected

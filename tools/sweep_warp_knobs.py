@@ -1,6 +1,7 @@
 """Sweep the fused warp kernel's scheduling knobs on the real chip
-(VERDICT r3 item 10): x_part x {512, 256, 128} and z_batch x {1,2,4,8}
-at the 512^3 x 24 headline config. Prints one line per point.
+(VERDICT r3 item 10): x_part x {512, 256, 128}, z_batch x {1,2,4,8},
+and tap2 (shared-index two-tap gather, bit-identical) at the
+512^3 x 24 headline config. Prints one line per point.
 
 Run AFTER warming the compile service (CLAUDE.md rig caveat):
     python tools/sweep_warp_knobs.py [n] [views]
@@ -46,10 +47,12 @@ def main():
               flush=True)
 
     run("baseline")
+    run("tap2", tap2=True)
     for xp in (512, 256, 128):
         run(f"x_part={xp}", x_part=xp)
     for zb in (2, 4, 8):
         run(f"z_batch={zb}", z_batch=zb)
+    run("tap2+x_part=256", tap2=True, x_part=256)
 
 
 if __name__ == "__main__":

@@ -160,22 +160,77 @@ def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
+def _gather_rows2(
+    tab: jax.Array, tab1: jax.Array, idx: jax.Array
+) -> "tuple[jax.Array, jax.Array]":
+    """Two same-index gathers sharing ONE chunk/lane decomposition:
+    out[r, j] = tab[r, idx[r, j]] and out1[r, j] = tab1[r, idx[r, j]].
+    The shared-tap scheme passes tab1 = tab pre-shifted by one element
+    (see _shift_next) so linear interpolation's second tap reuses the
+    first tap's index arithmetic and chunk-select masks -- the gathered
+    VALUES are bitwise the ones _gather_rows would fetch at min(idx+1,
+    hi), so the interpolation result is bit-identical."""
+    r, wpad = tab.shape
+    _, t = idx.shape
+    n_chunks = wpad // _LANE
+    outs, outs1 = [], []
+    for jt in range(t // _LANE):
+        it = idx[:, jt * _LANE : (jt + 1) * _LANE]
+        chunk = it // _LANE
+        lane = it - chunk * _LANE
+        acc = jnp.zeros((r, _LANE), tab.dtype)
+        acc1 = jnp.zeros((r, _LANE), tab1.dtype)
+        for c in range(n_chunks):
+            sel = chunk == c
+            g = jnp.take_along_axis(
+                tab[:, c * _LANE : (c + 1) * _LANE], lane, axis=1
+            )
+            g1 = jnp.take_along_axis(
+                tab1[:, c * _LANE : (c + 1) * _LANE], lane, axis=1
+            )
+            acc = jnp.where(sel, g, acc)
+            acc1 = jnp.where(sel, g1, acc1)
+        outs.append(acc)
+        outs1.append(acc1)
+    if len(outs) > 1:
+        return jnp.concatenate(outs, axis=1), jnp.concatenate(outs1, axis=1)
+    return outs[0], outs1[0]
+
+
+def _shift_next(tab: jax.Array, hi: int) -> jax.Array:
+    """tab1[r, i] = tab[r, min(i + 1, hi)] for every i <= hi (lanes past
+    hi are never gathered -- linear taps clamp to hi -- so their values
+    are don't-cares; the wrap the roll introduces at the last lane is
+    harmless). Static lane roll; shapes here are always lane-aligned."""
+    r, w = tab.shape
+    shifted = pltpu.roll(tab, w - 1, 1)  # out[i] = tab[i + 1] (mod w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    return jnp.where(lane == hi, tab, shifted)
+
+
 def _interp_inline(tab: jax.Array, pos: jax.Array, width: int,
                    linear: bool, lo: int = 0,
-                   hi: "int | None" = None) -> jax.Array:
+                   hi: "int | None" = None,
+                   tap2: bool = False) -> jax.Array:
     """1D interpolation along rows, identical tap rules to
     ops/warp_gather.interp_rows (floor + clamp to [lo, hi] -- the
     reference's ROI clamp; NN rounds half up). tab is lane-padded; taps
-    never exceed width - 1 < padded."""
+    never exceed width - 1 < padded. tap2 fetches both linear taps at
+    the shared index p0 from (tab, shifted tab) -- bit-identical values,
+    one chunk-select pass instead of two (a scheduling knob, default
+    off until measured on-chip)."""
     if hi is None:
         hi = width - 1
     if linear:
         p0f = jnp.floor(pos)
         frac = pos - p0f
         p0 = jnp.clip(p0f.astype(jnp.int32), lo, hi)
-        p1 = jnp.minimum(p0 + 1, hi)
-        t0 = _gather_rows(tab, p0)
-        t1 = _gather_rows(tab, p1)
+        if tap2:
+            t0, t1 = _gather_rows2(tab, _shift_next(tab, hi), p0)
+        else:
+            p1 = jnp.minimum(p0 + 1, hi)
+            t0 = _gather_rows(tab, p0)
+            t1 = _gather_rows(tab, p1)
         return (1.0 - frac) * t0 + frac * t1
     p0 = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), lo, hi)
     return _gather_rows(tab, p0)
@@ -187,6 +242,7 @@ def _warp_fused_kernel(
     ortho: bool = False,
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
+    tap2: bool = False,
 ):
     x0, y0, x1, y1 = roi or (0, 0, w - 1, h - 1)
     def kernel(
@@ -257,7 +313,7 @@ def _warp_fused_kernel(
                     jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
                 )
                 inter = _interp_inline(
-                    img, u_eq, w, linear, x0, x1
+                    img, u_eq, w, linear, x0, x1, tap2
                 )  # (h, nxp)
 
                 # lane-pad the transposed intermediate for the pass-2 gather
@@ -285,7 +341,7 @@ def _warp_fused_kernel(
                     jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
                 )
                 dist = _interp_inline(
-                    inter_t, v_pos, h, linear, y0, y1
+                    inter_t, v_pos, h, linear, y0, y1, tap2
                 )  # (nxp, ny)
 
                 if ortho:
@@ -338,6 +394,7 @@ def warp_fuse_planes(
     ortho_rows: "jax.Array | None" = None,  # f32[V, 4] real z rows
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
+    tap2: bool = False,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
@@ -366,7 +423,7 @@ def warp_fuse_planes(
             jnp.pad(un, ((0, 0), (0, nyq - ny), (0, nxq - nx))),
             _extend_centers(cx, nxq), _extend_centers(cy, nyq), cz,
             w2c, principal_point, focal_length, sdf_images, opt, linear,
-            interpret, precise, x_part, ortho_rows, roi, z_batch,
+            interpret, precise, x_part, ortho_rows, roi, z_batch, tap2,
         )
         return s2[:, :ny, :nx], u2[:, :ny, :nx]
     nxp = x_part or _pick_x_part(ny, nx)
@@ -398,6 +455,7 @@ def warp_fuse_planes(
         ortho=ortho,
         roi=tuple(int(v) for v in roi) if roi is not None else None,
         z_batch=z_batch,
+        tap2=tap2,
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
         (z_batch, ny, nxp), lambda k, xp: (k, 0, xp),
@@ -450,7 +508,7 @@ def warp_fuse_planes(
 @partial(
     jax.jit,
     static_argnames=("grid", "opt", "linear", "interpret", "precise",
-                     "x_part", "roi", "z_batch"),
+                     "x_part", "roi", "z_batch", "tap2"),
 )
 def carve_views_warp_fused(
     state: VoxelGridState,
@@ -466,6 +524,7 @@ def carve_views_warp_fused(
     x_part: "int | None" = None,
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
+    tap2: bool = False,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
@@ -483,6 +542,6 @@ def carve_views_warp_fused(
         jnp.asarray(grid.axis_centers(2)),
         w2c, principal_point, focal_length, sdf_images,
         opt, linear, interpret, precise, x_part, roi=roi,
-        z_batch=z_batch,
+        z_batch=z_batch, tap2=tap2,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)
