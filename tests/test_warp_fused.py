@@ -251,7 +251,7 @@ def test_fused_tap2_bit_identical(roi):
     between the whole-program engine and the op-at-a-time interpret
     kernel, so engine-vs-kernel is only ulp-level here)."""
     grid, state, w2c, pp, fl, imgs = _setup(
-        nz=3, ny=128, nx=256, n_views=2, h=140, w=200
+        nz=3, ny=128, nx=256, n_views=2, h=144, w=200
     )
     h, w = imgs.shape[1:]
     roi_t = (5, 4, w - 9, h - 6) if roi == "clamped" else None
