@@ -150,8 +150,11 @@ def _gather_rows(tab: jax.Array, idx: jax.Array) -> jax.Array:
         it = idx[:, jt * _LANE : (jt + 1) * _LANE]
         chunk = it // _LANE
         lane = it - chunk * _LANE
-        acc = jnp.zeros((r, _LANE), tab.dtype)
-        for c in range(n_chunks):
+        # seed with the chunk-0 gather instead of zeros: every lane is
+        # (re)written by its own chunk's select, and chunk-0 lanes start
+        # correct -- one select per tile saved, bitwise-identical
+        acc = jnp.take_along_axis(tab[:, :_LANE], lane, axis=1)
+        for c in range(1, n_chunks):
             g = jnp.take_along_axis(
                 tab[:, c * _LANE : (c + 1) * _LANE], lane, axis=1
             )
@@ -178,9 +181,10 @@ def _gather_rows2(
         it = idx[:, jt * _LANE : (jt + 1) * _LANE]
         chunk = it // _LANE
         lane = it - chunk * _LANE
-        acc = jnp.zeros((r, _LANE), tab.dtype)
-        acc1 = jnp.zeros((r, _LANE), tab1.dtype)
-        for c in range(n_chunks):
+        # chunk-0 seed, as in _gather_rows
+        acc = jnp.take_along_axis(tab[:, :_LANE], lane, axis=1)
+        acc1 = jnp.take_along_axis(tab1[:, :_LANE], lane, axis=1)
+        for c in range(1, n_chunks):
             sel = chunk == c
             g = jnp.take_along_axis(
                 tab[:, c * _LANE : (c + 1) * _LANE], lane, axis=1
