@@ -35,6 +35,30 @@ def _probe_backend():
         return None, str(e)[-300:]
 
 
+def _warm_compile():
+    """Compile one trivial Pallas kernel before any timed work, exactly
+    like tools/run_tpu_tests.py does: the remote compile helper has a
+    variable cold start (minutes through the tunnel), and paying it
+    inside run_bench's warmup would be indistinguishable from a perf
+    regression. Returns (ok, seconds, error_tail). NEVER run this under
+    a timeout -- killing an in-flight first compile can down the
+    backend for hours (CLAUDE.md rig caveat)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    t0 = time.perf_counter()
+    try:
+        k = lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...] * 2.0)
+        y = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        )(jnp.ones((8, 128), jnp.float32))
+        float(jnp.sum(y))  # pull a scalar: real sync through the tunnel
+        return True, time.perf_counter() - t0, None
+    except Exception as e:  # compile service down mid-run
+        return False, time.perf_counter() - t0, str(e)[-300:]
+
+
 def build_case(n=256, n_views=24, h=240, w=320):
     import jax.numpy as jnp
 
@@ -163,6 +187,21 @@ def main():
             )
         )
         return
+    warm_ok, warm_s, warm_err = _warm_compile()
+    if not warm_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "voxel_view_fusions_per_sec_per_chip_512^3",
+                    "value": None,
+                    "unit": "fusions/s",
+                    "vs_baseline": None,
+                    "warm_compile_s": round(warm_s, 1),
+                    "error": f"warm compile failed: {warm_err}",
+                }
+            )
+        )
+        return
     rate, _ = run_bench()
     mc_rate, mc_s, mc_verts = run_mc_bench()
     # the scale story: 512^3 extraction cost tracks surface occupancy
@@ -177,6 +216,7 @@ def main():
                 "value": round(rate, 1),
                 "unit": "fusions/s",
                 "vs_baseline": round(rate / target, 4),
+                "warm_compile_s": round(warm_s, 1),
                 "mc_cubes_per_sec_256^3": round(mc_rate, 1),
                 "mc_extract_warm_s_256^3": round(mc_s, 4),
                 "mc_vertices_256^3": int(mc_verts),

@@ -81,6 +81,40 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_load_ignores_orphaned_temps(tmp_path):
+    """A crash mid-save must never leave a file the recovery load will
+    np.load: the temps are dot-prefixed AND load_state filters them."""
+    import jax
+
+    from vacancy_tpu.parallel import grid_sharding, make_device_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    grid = GridSpec(bb_min=(0, 0, 0), bb_max=(2.1, 2.1, 2.1), resolution=0.5)
+    rng = np.random.default_rng(1)
+    state = VoxelGridState(
+        sdf=rng.normal(size=grid.shape_zyx).astype(np.float32),
+        update_num=rng.integers(0, 4, size=grid.shape_zyx).astype(np.int32),
+    )
+    sharding = grid_sharding(make_device_mesh(2))
+    state = VoxelGridState(
+        sdf=jax.device_put(state.sdf, sharding),
+        update_num=jax.device_put(state.update_num, sharding),
+    )
+    path = str(tmp_path / "ck.npz")
+    save_state(path, state, grid, next_view=2, force_sharded=True)
+    # simulate crashed saves: a pre-fix suffix-style partial temp that
+    # the .proc*.npz glob DOES match, and a current dot-prefixed temp
+    (tmp_path / "ck.npz.proc0.npz.tmp999.npz").write_bytes(b"PK\x03\x04troncated")
+    (tmp_path / ".ck.npz.proc1.npz.tmp999.npz").write_bytes(b"garbage")
+    st2, grid2, nv, _ = load_state(path, sharding=sharding)
+    assert grid2 == grid and nv == 2
+    np.testing.assert_array_equal(np.asarray(st2.sdf), np.asarray(state.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(st2.update_num), np.asarray(state.update_num)
+    )
+
+
 # ------------------------------------------------------------ image viz ---
 def test_depth_to_gray():
     d = np.array([[0.0, 1.0], [2.0, 3.0]], np.float32)

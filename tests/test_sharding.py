@@ -77,6 +77,28 @@ def _setup_grid_and_views(nz=16, seed=0, update=VoxelUpdate.MAX):
     return grid, w2c, pp, fl, jnp.asarray(imgs), roi, opt
 
 
+def test_fusion_drivers_reject_custom_axis_names():
+    """A mesh whose axes are not grid-named (z/y/x) must raise, not
+    silently replicate the fusion on every device (ADVICE r4)."""
+    from jax.sharding import Mesh
+
+    _require_devices(2)
+    grid, w2c, pp, fl, imgs, roi, opt = _setup_grid_and_views()
+    bad = Mesh(np.array(jax.devices()[:2]), axis_names=("model",))
+    from vacancy_tpu.parallel import carve_views_warp_sharded
+
+    with pytest.raises(ValueError, match="grid-named"):
+        carve_views_sharded(
+            VoxelGridState.create(grid), grid, w2c, pp, fl, imgs,
+            roi, opt, mesh=bad,
+        )
+    with pytest.raises(ValueError, match="grid-named"):
+        carve_views_warp_sharded(
+            VoxelGridState.create(grid), grid, w2c, pp, fl, imgs,
+            opt=opt, mesh=bad,
+        )
+
+
 @pytest.mark.parametrize("n_shards", [2, 8])
 def test_sharded_fusion_bitwise_equal(n_shards):
     _require_devices(n_shards)

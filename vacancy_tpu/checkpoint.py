@@ -46,8 +46,12 @@ def _atomic_savez(path: str, **payload) -> None:
     the target itself, so write to a sibling temp and os.replace)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
-    # keep the .npz suffix on the temp name or np.savez appends its own
-    tmp = f"{path}.tmp{os.getpid()}.npz"
+    # dot-prefix the BASENAME so load_state's ``path + '.proc*.npz'``
+    # glob can never enumerate an orphaned temp from a mid-save crash
+    # (a suffix-style temp like f"{path}.tmp{pid}.npz" WOULD match it);
+    # keep the .npz suffix or np.savez appends its own
+    d, name = os.path.split(path)
+    tmp = os.path.join(d, f".{name}.tmp{os.getpid()}.npz")
     try:
         np.savez_compressed(tmp, **payload)
         os.replace(tmp, path)
@@ -62,9 +66,14 @@ def save_state(
     grid: GridSpec,
     next_view: int = 0,
     extra: Optional[dict] = None,
+    force_sharded: bool = False,
 ) -> None:
+    """``force_sharded`` writes the per-shard (z, y, x)-keyed layout
+    even when the state is fully addressable (single process), so the
+    driver dryrun can certify that path on a virtual mesh every round;
+    production callers never need it."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    if getattr(state.sdf, "is_fully_addressable", True):
+    if getattr(state.sdf, "is_fully_addressable", True) and not force_sharded:
         _atomic_savez(
             path,
             sdf=np.asarray(state.sdf),
@@ -163,7 +172,14 @@ def load_state(
     files = sorted(glob.glob(path + ".proc*.npz")) + sorted(
         glob.glob(path + ".proc*")
     )
-    files = [f for f in dict.fromkeys(files) if os.path.isfile(f)]
+    # drop any orphaned atomic-save temps (pre-fix suffix-style temps
+    # from a crashed save DO match the globs; they may be partial zips)
+    files = [
+        f for f in dict.fromkeys(files)
+        if os.path.isfile(f)
+        and ".tmp" not in os.path.basename(f)
+        and not os.path.basename(f).startswith(".")
+    ]
     if not files:
         raise FileNotFoundError(path)
     # this process's own file almost always covers its shards -- try it

@@ -115,6 +115,8 @@ def carve_views_sharded(
     Any grid mesh rank (z / (z, y) / (z, y, x) blocks).
     """
     assert mesh is not None
+    _grid_parts(mesh)  # reject non-grid-named axes loudly: the specs
+    # below would otherwise silently replicate the fusion on every device
     if w2c.ndim == 2:
         w2c = w2c[None]
         principal_point = principal_point[None]
@@ -869,6 +871,8 @@ def carve_views_warp_sharded(
     from ..config import UpdateOutsideImage
 
     assert mesh is not None
+    _grid_parts(mesh)  # reject non-grid-named axes loudly (see
+    # carve_views_sharded): unvalidated specs replicate silently
     if w2c.ndim == 2:
         w2c = w2c[None]
         principal_point = principal_point[None]

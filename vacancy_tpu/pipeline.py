@@ -258,6 +258,7 @@ def run_turntable(
             extract_mesh_sharded,
             grid_sharding,
             make_device_mesh,
+            pad_bbox_for_sharding,
             pick_mesh_shape,
         )
 
@@ -266,6 +267,10 @@ def run_turntable(
                 grid.shape_zyx, len(jax.devices())
             )
         dev_mesh = make_device_mesh(shape=mesh_shape)
+        # axes need not divide the grid extent (pick_mesh_shape
+        # contract); pad here like run_sweep does, or shard_map fails
+        # deep inside with an opaque shape error
+        grid = pad_bbox_for_sharding(grid, dev_mesh)
         sharding = grid_sharding(dev_mesh)
 
         def carve():

@@ -29,18 +29,27 @@ _VMEM_TABLE = (
 
 
 @functools.lru_cache(maxsize=None)
+def _vmem_for_kind(kind: str) -> int:
+    for sub, v in _VMEM_TABLE:
+        if sub in kind:
+            return v
+    return _V5E_VMEM
+
+
 def vmem_bytes() -> int:
-    """VMEM per core of the default backend's first device (bytes)."""
+    """VMEM per core of the default backend's first device (bytes).
+
+    Re-queries the (jax-cached, cheap post-init) default backend each
+    call so a process that reconfigures backends (e.g. a CPU-forced
+    test init racing a later TPU query) never serves a budget pinned
+    to whichever backend happened to be asked first."""
     try:
         import jax
 
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
         return _V5E_VMEM
-    for sub, v in _VMEM_TABLE:
-        if sub in kind:
-            return v
-    return _V5E_VMEM
+    return _vmem_for_kind(kind)
 
 
 def scale_budget(v5e_bytes: int) -> int:
