@@ -1,0 +1,164 @@
+"""Windowed fused-MC kernel (own_k/own_j/own_i + global bases) == dense.
+
+Drives ops/mc_fused.mc_fused_call over a manual multi-axis block
+decomposition WITHOUT shard_map, so the emission-window kernel variant
+can be Mosaic-compiled on the real single TPU chip (VERDICT r4 item 3:
+these code paths previously ran only inside shard_map on the virtual
+CPU mesh, i.e. Pallas interpret mode only). Shapes mirror the (2, 4)
+and (2, 2, 2) dryrun_multichip meshes.
+
+The decomposition reproduces parallel/sharded.py's _halo_extend
+semantics with plain slicing of once-padded global arrays: interior
+halos take the neighbor block's boundary plane/row/lane; grid-boundary
+halos carry the InvalidSdf sentinel (an out-of-grid neighbor IS an
+invalid voxel), and halo center entries are sentinel +-1 values that no
+valid path reads. Reference semantics: marching_cubes.cc:63-228 seam
+behavior (every cube emitted exactly once by its owning block).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vacancy_tpu.config import INVALID_SDF
+from vacancy_tpu.grid import GridSpec, VoxelGridState
+from vacancy_tpu.ops.marching_cubes import extract_mesh
+from vacancy_tpu.ops.mc_fused import (
+    finish_fused_extract,
+    mc_fused_call,
+    pick_y_parts,
+)
+
+
+def _random_state(nz, ny, nx, seed=5, p_invalid=0.05, p_updated=0.9):
+    rng = np.random.default_rng(seed)
+    sdf = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sdf[[0, -1], :, :] = 1.0
+    sdf[:, [0, -1], :] = 1.0
+    sdf[:, :, [0, -1]] = 1.0
+    sdf[rng.random((nz, ny, nx)) < p_invalid] = INVALID_SDF
+    un = (rng.random((nz, ny, nx)) < p_updated).astype(np.int32)
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    assert grid.shape_zyx == (nz, ny, nx)
+    state = VoxelGridState(sdf=jnp.asarray(sdf), update_num=jnp.asarray(un))
+    return state, grid
+
+
+def _pad_sharded_axes(a, parts, sent):
+    """One sentinel halo cell on both sides of every sharded axis, so
+    each block's halo-extended view is a contiguous slice."""
+    pad = [(1, 1) if p > 1 else (0, 0) for p in parts]
+    return np.pad(a, pad, constant_values=sent)
+
+
+def _windowed_extract(state, grid, parts, linear_interp=True):
+    """Extract via per-block windowed mc_fused_call; assemble like the
+    sharded driver (ascending (z, y, x) block order + stable sort)."""
+    pz, py, px = parts
+    nz, ny, nx = state.sdf.shape
+    lz, ly, lx = nz // pz, ny // py, nx // px
+    assert (lz * pz, ly * py, lx * px) == (nz, ny, nx)
+    multi = py > 1 or px > 1
+    interpret = jax.default_backend() != "tpu"
+
+    sdf_p = _pad_sharded_axes(np.asarray(state.sdf), parts, INVALID_SDF)
+    un_p = _pad_sharded_axes(
+        (np.asarray(state.update_num) >= 1).astype(np.int8), parts, 0
+    )
+    centers = []
+    for d, (p, n) in enumerate(zip(parts, (nz, ny, nx))):
+        c = np.asarray(grid.axis_centers(2 - d), np.float32)
+        if p > 1:
+            c = np.concatenate([[c[0] - 1.0], c, [c[-1] + 1.0]])
+        centers.append(c)
+    cz_p, cy_p, cx_p = centers
+
+    dz = lz + (2 if pz > 1 else 0)
+    dy = ly + (2 if py > 1 else 0)
+    dx = lx + (2 if px > 1 else 0)
+    h = pick_y_parts(dy, dx)
+    assert h is not None
+    ny2 = dy // h
+    rows = ny2 + 2  # max useful capacity: no retry loop needed
+
+    per_block = [[] for _ in range(9)]
+    for iz in range(pz):
+        for iy in range(py):
+            for ix in range(px):
+                z0, y0, x0 = iz * lz, iy * ly, ix * lx
+                blk = lambda a: a[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
+                zb = (
+                    jnp.asarray(z0 - 1, jnp.int32) if pz > 1 else None
+                )
+                yb = y0 - 1 if py > 1 else 0
+                xb = x0 - 1 if px > 1 else 0
+                outs_b = mc_fused_call(
+                    jnp.asarray(blk(sdf_p)),
+                    jnp.asarray(blk(un_p)),
+                    jnp.asarray(cx_p[x0:x0 + dx]),
+                    jnp.asarray(cy_p[y0:y0 + dy]),
+                    jnp.asarray(cz_p[z0:z0 + dz]),
+                    zb,
+                    y_parts=h,
+                    linear_interp=linear_interp,
+                    rows_e=rows,
+                    rows_c=rows,
+                    own_k=(1, lz + 1) if pz > 1 else None,
+                    own_j=(1, ly + 1) if py > 1 else None,
+                    own_i=(1, lx + 1) if px > 1 else None,
+                    gdims=(ny, nx) if multi else None,
+                    yx_base=(
+                        (jnp.asarray(yb, jnp.int32),
+                         jnp.asarray(xb, jnp.int32))
+                        if multi else None
+                    ),
+                    interpret=interpret,
+                )
+                for i in range(9):
+                    per_block[i].append(outs_b[i])
+    outs = [jnp.concatenate(s, axis=0) for s in per_block]
+    counts = np.asarray(jnp.ravel(outs[8])).reshape(-1, 8)
+    # generous static capacity must have held (counts are exact)
+    assert int(counts[:, :3].max(initial=0)) <= rows * dx
+    assert int(counts[:, 3].max(initial=0)) <= rows * dx
+    return finish_fused_extract(outs, counts, ny, nx, grid, sort=multi)
+
+
+@pytest.mark.parametrize("linear_interp", [True, False])
+@pytest.mark.parametrize("parts", [(2, 4, 1), (2, 2, 2)])
+def test_windowed_fused_equals_dense(parts, linear_interp):
+    state, grid = _random_state(16, 16, 16)
+    dense = extract_mesh(
+        state, grid, linear_interp=linear_interp, engine="xla"
+    )
+    win = _windowed_extract(state, grid, parts, linear_interp)
+    assert dense.num_vertices > 0
+    np.testing.assert_array_equal(win.vertices, dense.vertices)
+    np.testing.assert_array_equal(win.faces, dense.faces)
+
+
+def test_windowed_fused_sphere_y_x_only():
+    """(1, 2, 2): no z split, so own_j/own_i + yx_base are exercised
+    WITHOUT own_k/zb, on a closed surface crossing every seam."""
+    nz, ny, nx = 16, 16, 24
+    grid = GridSpec(
+        bb_min=(0.0, 0.0, 0.0),
+        bb_max=(nx + 0.4, ny + 0.4, nz + 0.4),
+        resolution=1.0,
+    )
+    c = grid.centers_zyx(use_numpy=True)
+    r = np.linalg.norm(c - np.array([12.0, 8.0, 8.0]), axis=-1)
+    sdf = np.clip((r - 5.5) / 2.0, -1, 1).astype(np.float32)
+    state = VoxelGridState(
+        sdf=jnp.asarray(sdf),
+        update_num=jnp.ones((nz, ny, nx), jnp.int32),
+    )
+    dense = extract_mesh(state, grid, engine="xla")
+    win = _windowed_extract(state, grid, (1, 2, 2))
+    np.testing.assert_array_equal(win.vertices, dense.vertices)
+    np.testing.assert_array_equal(win.faces, dense.faces)

@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TEST_FILES = [
     "tests/test_warp_fused.py",
     "tests/test_mc_fused.py",
+    "tests/test_mc_fused_windows.py",
     "tests/test_fusion_warp.py",
     "tests/test_warp_ortho.py",
 ]
