@@ -1,0 +1,137 @@
+"""On-chip bench for ROI'd and auto-padded fused carving (VERDICT r4
+item 5): round 4 routed unaligned grids (zero-padded planes) and ROI
+carves through the fused warp kernel; this measures both on hardware.
+
+A. auto-pad threshold: unaligned n^3 grids at several padded/real work
+   ratios, the FORCED padded fused kernel vs the two-pass XLA engine
+   (the fallback the dispatcher picks above _PAD_WORK_MAX). The
+   empirical crossover validates (or re-tunes) _PAD_WORK_MAX = 2.0.
+     n=320 -> (384/320)^2 = 1.44   n=200 -> (256/200)^2 = 1.64
+     n=160 -> (256/160)^2 = 2.56   n=144 -> (256/144)^2 = 3.16
+B. ROI: 512^3 x 24 views, full image vs quarter-image ROI through the
+   fused kernel (taps clamp to the ROI; same plane work, the win is
+   smaller gather tables only when the image itself is cropped -- this
+   point documents that ROI costs nothing, not that it speeds up).
+
+Run AFTER warming the compile service (CLAUDE.md rig caveat). Prints
+one line per point and writes BENCH_ROI_PAD_r{N}.json.
+Usage: python tools/bench_roi_pad.py [round]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import bench  # noqa: E402
+from vacancy_tpu.config import VoxelUpdateOption  # noqa: E402
+from vacancy_tpu.ops import warp_fused  # noqa: E402
+from vacancy_tpu.ops.fusion_warp import carve_views_warp  # noqa: E402
+from vacancy_tpu.ops.warp_fused import carve_views_warp_fused  # noqa: E402
+
+
+def measure(step, state, grid, n_views, iters=4):
+    st = step(state)
+    float(jnp.sum(st.sdf))  # compile + full sync through the tunnel
+    t0 = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur = step(cur)
+    float(jnp.sum(cur.sdf))
+    dt = (time.perf_counter() - t0) / iters
+    return grid.num_voxels * n_views / dt, dt
+
+
+def pad_points(n_views=24):
+    opt = VoxelUpdateOption()
+    rows = []
+    for n in (320, 200, 160, 144):
+        grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
+        nyp = -(-n // 128) * 128
+        ratio = (nyp * nyp) / (n * n)
+        saved = warp_fused._PAD_WORK_MAX
+        try:
+            # force the padded kernel even above the dispatch threshold
+            warp_fused._PAD_WORK_MAX = 1e9
+            rate_f, dt_f = measure(
+                lambda st: carve_views_warp_fused(
+                    st, grid, w2c, pp, fl, imgs, opt
+                ),
+                state, grid, n_views,
+            )
+            # force the two-pass fallback (plane_pad_dims -> None)
+            warp_fused._PAD_WORK_MAX = 0.0
+            rate_s, dt_s = measure(
+                lambda st: carve_views_warp(
+                    st, grid, w2c, pp, fl, imgs, opt
+                ),
+                state, grid, n_views,
+            )
+        finally:
+            warp_fused._PAD_WORK_MAX = saved
+        win = rate_f / rate_s
+        rows.append(
+            {
+                "n": n, "pad_ratio": round(ratio, 3),
+                "fused_padded_gps": round(rate_f / 1e9, 3),
+                "two_pass_gps": round(rate_s / 1e9, 3),
+                "fused_over_two_pass": round(win, 3),
+            }
+        )
+        print(
+            f"pad n={n} ratio={ratio:.2f}: fused {rate_f / 1e9:.2f} G/s"
+            f" ({dt_f * 1e3:.1f} ms) vs two-pass {rate_s / 1e9:.2f} G/s"
+            f" ({dt_s * 1e3:.1f} ms) -> x{win:.2f}",
+            flush=True,
+        )
+    return rows
+
+
+def roi_points(n=512, n_views=24):
+    opt = VoxelUpdateOption()
+    grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
+    h, w = imgs.shape[1:]
+    out = {}
+    for tag, roi in (
+        ("full", None),
+        ("quarter", (0, 0, w // 2 - 1, h // 2 - 1)),
+    ):
+        rate, dt = measure(
+            lambda st: carve_views_warp_fused(
+                st, grid, w2c, pp, fl, imgs, opt, roi=roi
+            ),
+            state, grid, n_views,
+        )
+        out[tag] = {"gps": round(rate / 1e9, 3), "ms": round(dt * 1e3, 1)}
+        print(
+            f"roi {tag} @ {n}^3: {rate / 1e9:.2f} G/s ({dt * 1e3:.1f} ms)",
+            flush=True,
+        )
+    return out
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    backend = jax.default_backend()
+    if backend != "tpu":
+        # the fused engine is TPU-only (fusion_warp._fused_view_chunk);
+        # a CPU run would silently measure the two-pass path twice
+        print(json.dumps({"error": f"needs tpu backend, got {backend}"}))
+        return
+    res = {"backend": backend, "pad": pad_points(), "roi": roi_points()}
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_ROI_PAD_r{rnd:02d}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"out": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-5 on-chip chain (VERDICT r4 items 1,2,4,5,7), in dependency
+# order. NO kills, NO timeouts on compiles (CLAUDE.md rig caveat: a
+# killed in-flight first compile can down the backend for hours).
+# run_tpu_tests warms the compile service itself and records
+# backend_available, so running this when the tunnel is down is safe --
+# it exits early with an artifact saying so.
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/r5_chain.log
+echo "=== r5 chain start $(date -u +%F' '%T)" | tee "$LOG"
+
+echo "--- 1: on-chip byte-equality artifact (warms first)" | tee -a "$LOG"
+python tools/run_tpu_tests.py 5 >> "$LOG" 2>&1
+if ! grep -q '"backend_available": true' TPU_TESTS_r05.json 2>/dev/null; then
+  echo "backend unavailable; stopping after the artifact" | tee -a "$LOG"
+  exit 0
+fi
+
+echo "--- 2: warp-knob sweep (x_part / z_batch / tap2)" | tee -a "$LOG"
+python tools/sweep_warp_knobs.py > /tmp/sweep_knobs_r5.log 2>&1
+cat /tmp/sweep_knobs_r5.log >> "$LOG"
+
+echo "--- 3: ROI / auto-pad bench" | tee -a "$LOG"
+python tools/bench_roi_pad.py 5 >> "$LOG" 2>&1
+
+echo "--- 4: bench.py (headline)" | tee -a "$LOG"
+python bench.py > /tmp/bench_r5.json 2>> "$LOG"
+cat /tmp/bench_r5.json >> "$LOG"
+
+echo "--- 5: BASELINE config 5 re-measure (1024^3 x 100 sweep)" | tee -a "$LOG"
+python -m vacancy_tpu.pipeline sweep --n 1024 --views 100 --no-sharded \
+  > /tmp/sweep_1024_r5.log 2>&1
+cat /tmp/sweep_1024_r5.log >> "$LOG"
+
+echo "--- 6: BASELINE config 4 re-measure (512^3 x 36 turntable)" | tee -a "$LOG"
+python -m vacancy_tpu.pipeline turntable --n 512 --views 36 \
+  > /tmp/turntable_512_r5.log 2>&1
+cat /tmp/turntable_512_r5.log >> "$LOG"
+
+echo "=== r5 chain done $(date -u +%F' '%T)" | tee -a "$LOG"
+touch /tmp/r5_chain_done
