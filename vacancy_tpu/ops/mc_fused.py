@@ -176,9 +176,12 @@ def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
     the accumulator -- the default TPU matmul precision passes operands
     through bf16, which rounds integers >= 257, and `totals` reaches nx
     (512/1024) on dense straddle rows (flat slabs, axis-aligned hull
-    faces). Both dots therefore run at Precision.HIGHEST; the first one
-    has 0/1 x 0/1 operands and is exact at any precision, so the flag
-    costs nothing there."""
+    faces; tests/test_mc_fused.py flat-slab regression). Only the SECOND
+    dot carries such operands, so only it runs Precision.HIGHEST. The
+    first dot's operands are 0/1 x 0/1 by construction (flags x
+    triangular mask) -- bf16 represents both exactly and the MXU
+    accumulates f32 regardless, so DEFAULT precision is bit-exact there
+    and skips HIGHEST's extra passes on the larger matmul."""
     s, w = x.shape
     e = size // w
     xf = x.astype(jnp.float32)
@@ -188,7 +191,7 @@ def _region_cumsum(x: jax.Array, size: int) -> jax.Array:
         <= jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
     ).astype(jnp.float32)
     row_incl = jax.lax.dot(
-        xf, tri, precision=jax.lax.Precision.HIGHEST,
+        xf, tri, precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     # strictly-lower block-diagonal prefix of row totals, confined to
