@@ -271,6 +271,46 @@ def test_fused_tap2_bit_identical(roi):
     )
 
 
+@pytest.mark.parametrize(
+    "combo", ["plain", "roi", "nn", "tap2", "zb"],
+)
+def test_fused_row_cull_bit_identical(combo):
+    """row_cull (pass 1 predicated into 8-row blocks, blocks outside
+    the plane's gathered-tap band skipped) must be EXACTLY equal: the
+    skipped rows are the ones pass 2's clamped taps never read, and
+    computed blocks evaluate the full pass's formulas on sliced iotas
+    (integer add before the f32 convert). Covers the tap-rule variants
+    that change the band arithmetic (linear vs NN, ROI y-clamp), the
+    tap2 shared-gather interaction, and z_batch (scratch reuse across
+    unrolled planes and views must not leak stale rows into any gather).
+    Kernel-vs-kernel gate at a two-chunk image shape (h, w > 128); see
+    test_fused_tap2_bit_identical for why engine-vs-kernel is not
+    gated bitwise at novel shapes on the CPU backend."""
+    grid, state, w2c, pp, fl, imgs = _setup(
+        nz=4, ny=128, nx=256, n_views=2, h=144, w=200
+    )
+    h, w = imgs.shape[1:]
+    opt = VoxelUpdateOption()
+    kw = dict(opt=opt, interpret=jax.default_backend() != "tpu")
+    if combo == "roi":
+        kw["roi"] = (5, 4, w - 9, h - 6)
+    elif combo == "nn":
+        kw["linear"] = False
+    elif combo == "tap2":
+        kw["tap2"] = True
+    elif combo == "zb":
+        kw["z_batch"] = 2
+    a = carve_views_warp_fused(state, grid, w2c, pp, fl, imgs, **kw)
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, row_cull=True, **kw
+    )
+    assert int(jnp.max(a.update_num)) >= 1  # the views really touch
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 def test_fused_fast_divide_close_to_precise():
     """precise=False (one shared reciprocal for u*/v*) may differ from
     the precise kernel only through last-ulp motion of the projected

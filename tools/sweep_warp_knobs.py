@@ -48,11 +48,14 @@ def main():
 
     run("baseline")
     run("tap2", tap2=True)
+    run("row_cull", row_cull=True)
+    run("row_cull+tap2", row_cull=True, tap2=True)
     for xp in (512, 256, 128):
         run(f"x_part={xp}", x_part=xp)
     for zb in (2, 4, 8):
         run(f"z_batch={zb}", z_batch=zb)
     run("tap2+x_part=256", tap2=True, x_part=256)
+    run("row_cull+tap2+x_part=256", row_cull=True, tap2=True, x_part=256)
 
 
 if __name__ == "__main__":

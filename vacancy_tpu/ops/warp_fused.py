@@ -247,6 +247,7 @@ def _warp_fused_kernel(
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
     tap2: bool = False,
+    row_cull: bool = False,
 ):
     x0, y0, x1, y1 = roi or (0, 0, w - 1, h - 1)
     def kernel(
@@ -264,6 +265,7 @@ def _warp_fused_kernel(
         cyr_ref,  # VMEM f32[1, ny]
         osdf_ref,  # VMEM f32[zb, ny, nxp]
         oun_ref,  # VMEM i32[zb, ny, nxp]
+        *scratch,  # row_cull: (inter_ref,) VMEM f32[h, nxp]
     ):
         k = pl.program_id(0)
 
@@ -298,36 +300,38 @@ def _warp_fused_kernel(
 
                 img = imgs_ref[v]  # (h, wpad)
 
-                # ---- pass 1: horizontal resample at u_eq(vrow, x) ----
-                # (identical formulas to fusion_warp._warp_dist_one_view)
-                vbar = (
-                    jax.lax.broadcasted_iota(jnp.int32, (h, nxp), 0).astype(
-                        jnp.float32
+                def pass1_rows(r0, rows):
+                    """Pass 1 (horizontal resample at u_eq(vrow, x),
+                    identical formulas to fusion_warp._warp_dist_one_view)
+                    restricted to image rows [r0, r0 + rows). The sliced
+                    iota is the full pass's rows exactly (integer add
+                    before the f32 convert), so any block's values are
+                    bitwise the full (h, nxp) pass's rows."""
+                    vbar = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, nxp), 0
+                        ) + r0
+                    ).astype(jnp.float32) - cyp
+                    xr = jnp.broadcast_to(x_row1, (rows, nxp))
+                    denom = vbar * r21 - fy * r11
+                    safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+                    y_star = (
+                        fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)
+                    ) / safe
+                    s_star = c0 + r20 * xr + r21 * y_star
+                    s_safe = jnp.where(
+                        jnp.abs(s_star) < 1e-12, 1e-12, s_star
                     )
-                    - cyp
-                )
-                xr = jnp.broadcast_to(x_row1, (h, nxp))
-                denom = vbar * r21 - fy * r11
-                safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-                y_star = (fy * (b0 + r10 * xr) - vbar * (c0 + r20 * xr)) / safe
-                s_star = c0 + r20 * xr + r21 * y_star
-                s_safe = jnp.where(jnp.abs(s_star) < 1e-12, 1e-12, s_star)
-                u_eq = fx * (a0 + r00 * xr + r01 * y_star) / s_safe + cxp
-                u_eq = jnp.clip(
-                    jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
-                )
-                inter = _interp_inline(
-                    img, u_eq, w, linear, x0, x1, tap2
-                )  # (h, nxp)
+                    u_eq = fx * (a0 + r00 * xr + r01 * y_star) / s_safe + cxp
+                    u_eq = jnp.clip(
+                        jnp.nan_to_num(u_eq, nan=0.0), -1.0, jnp.float32(w)
+                    )
+                    return _interp_inline(
+                        img if rows == h else img[r0:r0 + rows, :],
+                        u_eq, w, linear, x0, x1, tap2,
+                    )
 
-                # lane-pad the transposed intermediate for the pass-2 gather
-                # (concatenate: .at[].set on a value lowers to scatter, which
-                # has no Mosaic rule)
-                inter_t = jnp.concatenate(
-                    [inter.T, jnp.zeros((nxp, hpad - h), jnp.float32)], axis=1
-                ) if hpad != h else inter.T
-
-                # ---- pass 2 + masks at the exact projection ----
+                # ---- pass-2 projection (independent of pass 1) ----
                 s_ = c0 + r20 * x_col + r21 * y_row
                 q_ = b0 + r10 * x_col + r11 * y_row
                 p_ = a0 + r00 * x_col + r01 * y_row
@@ -344,6 +348,46 @@ def _warp_fused_kernel(
                 v_pos = jnp.clip(
                     jnp.nan_to_num(v_star, nan=0.0), -1.0, jnp.float32(h)
                 )
+
+                # ---- pass 1 ----
+                if row_cull:
+                    # a z-plane projects to a BAND of image rows; pass 2
+                    # gathers the intermediate only at its clamped taps,
+                    # so 8-row blocks outside [lo, hi] are never read --
+                    # skipping their pass-1 work is bit-identical. lo/hi
+                    # recompute the exact tap rule from _interp_inline.
+                    if linear:
+                        p0b = jnp.clip(
+                            jnp.floor(v_pos).astype(jnp.int32), y0, y1
+                        )
+                        lo = jnp.min(p0b)
+                        hi = jnp.minimum(jnp.max(p0b) + 1, y1)
+                    else:
+                        p0b = jnp.clip(
+                            jnp.floor(v_pos + 0.5).astype(jnp.int32),
+                            y0, y1,
+                        )
+                        lo, hi = jnp.min(p0b), jnp.max(p0b)
+                    inter_ref = scratch[0]
+                    for blk in range(h // 8):
+                        r0 = blk * 8
+
+                        @pl.when((lo < r0 + 8) & (hi >= r0))
+                        def _(r0=r0):
+                            inter_ref[r0:r0 + 8, :] = pass1_rows(r0, 8)
+                    # unwritten rows are stale/garbage -- never gathered
+                    inter = inter_ref[:, :]  # (h, nxp)
+                else:
+                    inter = pass1_rows(0, h)  # (h, nxp)
+
+                # lane-pad the transposed intermediate for the pass-2 gather
+                # (concatenate: .at[].set on a value lowers to scatter, which
+                # has no Mosaic rule)
+                inter_t = jnp.concatenate(
+                    [inter.T, jnp.zeros((nxp, hpad - h), jnp.float32)], axis=1
+                ) if hpad != h else inter.T
+
+                # ---- pass 2 + masks at the exact projection ----
                 dist = _interp_inline(
                     inter_t, v_pos, h, linear, y0, y1, tap2
                 )  # (nxp, ny)
@@ -399,6 +443,7 @@ def warp_fuse_planes(
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
     tap2: bool = False,
+    row_cull: bool = False,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
@@ -407,13 +452,17 @@ def warp_fuse_planes(
     are x-partitioned (x_part overrides the auto pick, for tests).
     z_batch statically unrolls several z-planes per grid step (an
     experiment knob; requires nz % z_batch == 0, bit-identical output).
-    With ortho_rows the caller passes the SYNTHETIC orthographic
-    homography (third row (0,0,0,1), unit focal, zero principal point)
-    plus each view's real camera-z row for the behind mask. roi is the
-    static inclusive (x0, y0, x1, y1) ROI clamp (reference Carve ROI
-    overloads, voxel_carver.cc:394-413).
+    row_cull predicates pass 1 into 8-row blocks and skips blocks
+    outside the plane's gathered-tap band (bit-identical: the skipped
+    rows are exactly the never-read ones; needs h % 8 == 0, silently
+    off otherwise). With ortho_rows the caller passes the SYNTHETIC
+    orthographic homography (third row (0,0,0,1), unit focal, zero
+    principal point) plus each view's real camera-z row for the behind
+    mask. roi is the static inclusive (x0, y0, x1, y1) ROI clamp
+    (reference Carve ROI overloads, voxel_carver.cc:394-413).
     Returns (sdf, un)."""
     v_count, h, w = sdf_images.shape
+    row_cull = row_cull and h % 8 == 0
     nz, ny, nx = sdf.shape
     if ny % _LANE or nx % _LANE:
         # auto-pad to lane multiples (plane_pad_dims gates viability);
@@ -428,6 +477,7 @@ def warp_fuse_planes(
             _extend_centers(cx, nxq), _extend_centers(cy, nyq), cz,
             w2c, principal_point, focal_length, sdf_images, opt, linear,
             interpret, precise, x_part, ortho_rows, roi, z_batch, tap2,
+            row_cull,
         )
         return s2[:, :ny, :nx], u2[:, :ny, :nx]
     nxp = x_part or _pick_x_part(ny, nx)
@@ -460,6 +510,7 @@ def warp_fuse_planes(
         roi=tuple(int(v) for v in roi) if roi is not None else None,
         z_batch=z_batch,
         tap2=tap2,
+        row_cull=row_cull,
     )
     plane = lambda dt: pl.BlockSpec(  # noqa: E731
         (z_batch, ny, nxp), lambda k, xp: (k, 0, xp),
@@ -501,6 +552,9 @@ def warp_fuse_planes(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_scaled_vmem_limit(),
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((h, nxp), jnp.float32)] if row_cull else []
+        ),
         interpret=interpret,
     )(
         cz, coef, max_sdfs, sdf, un, imgs,
@@ -512,7 +566,7 @@ def warp_fuse_planes(
 @partial(
     jax.jit,
     static_argnames=("grid", "opt", "linear", "interpret", "precise",
-                     "x_part", "roi", "z_batch", "tap2"),
+                     "x_part", "roi", "z_batch", "tap2", "row_cull"),
 )
 def carve_views_warp_fused(
     state: VoxelGridState,
@@ -529,6 +583,7 @@ def carve_views_warp_fused(
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
     tap2: bool = False,
+    row_cull: bool = False,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
@@ -546,6 +601,6 @@ def carve_views_warp_fused(
         jnp.asarray(grid.axis_centers(2)),
         w2c, principal_point, focal_length, sdf_images,
         opt, linear, interpret, precise, x_part, roi=roi,
-        z_batch=z_batch, tap2=tap2,
+        z_batch=z_batch, tap2=tap2, row_cull=row_cull,
     )
     return VoxelGridState(sdf=new_sdf, update_num=new_un)
