@@ -48,6 +48,18 @@ print("warm ok", float(jnp.sum(y)), jax.default_backend(),
 """
 
 
+def _probe_attempts():
+    """Timestamped backend-probe attempts from the outage-recovery loop
+    (if one ran this round) -- evidence that an unavailable backend was
+    being continuously re-probed, not ignored."""
+    path = "/tmp/tpu_probe_attempts.jsonl"
+    try:
+        with open(path) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return []
+
+
 def _warm_service() -> "tuple[bool, str]":
     """Compile one trivial Pallas kernel in a subprocess so the remote
     compile helper's variable cold start (CLAUDE.md rig caveat) is paid
@@ -75,6 +87,7 @@ def main() -> int:
             "warm_tail": warm_tail, "files": TEST_FILES,
             "counts": {"passed": 0, "failed": 0, "skipped": 0,
                        "errors": -1},
+            "probe_attempts": _probe_attempts(),
         }
         with open(out_path, "w") as f:
             json.dump(artifact, f, indent=1)
@@ -124,6 +137,7 @@ def main() -> int:
         "counts": counts,
         "tests": tests,
         "pytest_tail": proc.stdout[-2000:],
+        "probe_attempts": _probe_attempts(),
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
