@@ -311,6 +311,26 @@ def test_fused_row_cull_bit_identical(combo):
     )
 
 
+def test_fused_row_cull_unaligned_h_silently_off():
+    """Image heights that are not 8-row multiples cannot block-tile
+    pass 1; the dispatcher silently disables row_cull there (no scratch
+    allocated, same kernel) -- the call must trace and match exactly."""
+    grid, state, w2c, pp, fl, imgs = _setup(h=44, w=56)
+    opt = VoxelUpdateOption()
+    interp = jax.default_backend() != "tpu"
+    a = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp
+    )
+    b = carve_views_warp_fused(
+        state, grid, w2c, pp, fl, imgs, opt=opt, interpret=interp,
+        row_cull=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.sdf), np.asarray(b.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(a.update_num), np.asarray(b.update_num)
+    )
+
+
 def test_fused_fast_divide_close_to_precise():
     """precise=False (one shared reciprocal for u*/v*) may differ from
     the precise kernel only through last-ulp motion of the projected
