@@ -272,7 +272,7 @@ def test_fused_tap2_bit_identical(roi):
 
 
 @pytest.mark.parametrize(
-    "combo", ["plain", "roi", "nn", "tap2", "zb"],
+    "combo", ["plain", "roi", "nn", "tap2", "zb", "xpart"],
 )
 def test_fused_row_cull_bit_identical(combo):
     """row_cull (pass 1 predicated into 8-row blocks, blocks outside
@@ -300,6 +300,11 @@ def test_fused_row_cull_bit_identical(combo):
         kw["tap2"] = True
     elif combo == "zb":
         kw["z_batch"] = 2
+    elif combo == "xpart":
+        # per-x-part bands (each part derives its own tap band from its
+        # x-slice of the projection) -- the sweep's on-chip combo
+        kw["x_part"] = 128
+        kw["tap2"] = True
     a = carve_views_warp_fused(state, grid, w2c, pp, fl, imgs, **kw)
     b = carve_views_warp_fused(
         state, grid, w2c, pp, fl, imgs, row_cull=True, **kw
