@@ -261,3 +261,58 @@ def test_warp_nn_close_to_exact_nn():
     # ...and the rest differ by at most a neighboring-pixel SDF step
     err = np.abs(e_sdf[touched] - w_sdf[touched])
     assert err.max() < 0.25, err.max()
+
+
+def test_carve_batch_roi_plumbing():
+    """VoxelCarver.carve_batch(roi_min, roi_max) threads one image-space
+    window into BOTH engines (beyond-reference: composes the reference's
+    per-view ROI Carve, voxel_carver.cc:394-413, with the batched fold).
+    Pure plumbing gate: each engine's facade result is bitwise the
+    direct engine call with the same ROI, and the ROI genuinely bites."""
+    import jax
+    import jax.numpy as jnp
+
+    from vacancy_tpu.carver import VoxelCarver
+    from vacancy_tpu.camera import stack_cameras
+    from vacancy_tpu.ops.fusion import carve_masks
+    from vacancy_tpu.ops.sdf2d import make_signed_distance_field
+    from vacancy_tpu.pipeline import bunny_option, load_bunny
+
+    cams, masks = load_bunny()
+    cams, masks = cams[:3], masks[:3]
+    camera = stack_cameras(list(cams))
+    h, w = masks.shape[1:]
+    roi_min, roi_max = (40, 30), (w - 41, h - 31)
+    roi = (*roi_min, *roi_max)
+
+    for engine in ("exact", "warp"):
+        c = VoxelCarver(bunny_option(resolution=20.0))
+        assert c.init()
+        state0 = c.state
+        c.carve_batch(
+            cams, masks, engine=engine, roi_min=roi_min, roi_max=roi_max
+        )
+        got = np.asarray(c.state.sdf)
+
+        if engine == "exact":
+            want, _ = carve_masks(
+                state0, c.grid, camera, jnp.asarray(masks), roi=roi,
+                opt=c._effective_update_option(),
+            )
+        else:
+            from vacancy_tpu.ops.fusion_warp import carve_views_warp
+
+            sdf_imgs = jax.vmap(
+                lambda m: make_signed_distance_field(m, roi)
+            )(jnp.asarray(masks))
+            want = carve_views_warp(
+                state0, c.grid, camera.w2c, camera.principal_point,
+                camera.focal_length, sdf_imgs,
+                opt=c._effective_update_option(), roi=roi,
+            )
+        np.testing.assert_array_equal(got, np.asarray(want.sdf))
+
+        c_full = VoxelCarver(bunny_option(resolution=20.0))
+        assert c_full.init()
+        c_full.carve_batch(cams, masks, engine=engine)
+        assert not np.array_equal(got, np.asarray(c_full.state.sdf))

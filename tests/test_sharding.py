@@ -274,6 +274,57 @@ def test_multiaxis_warp_fusion_bitwise_equal(shape):
     )
 
 
+@pytest.mark.parametrize("shape", [(2,), (2, 2, 2)])
+def test_sharded_fusion_roi_bitwise_equal(shape):
+    """A REAL sub-image ROI (reference's Carve(roi_min, roi_max)
+    overloads, voxel_carver.cc:394-413) through BOTH sharded fusion
+    drivers: the ROI is purely image-space so grid block slicing must
+    not interact with it -- bitwise equal to the dense engines with the
+    same ROI. (The other sharding tests pass the trivial full-image
+    ROI; this one pins the clamped-tap/outside-policy path.)"""
+    from vacancy_tpu.ops.fusion_warp import carve_views_warp
+    from vacancy_tpu.parallel import carve_views_warp_sharded
+
+    _require_devices(int(np.prod(shape)))
+    grid, w2c, pp, fl, imgs, _, opt = _setup_grid_and_views(seed=11)
+    _, h, w = imgs.shape
+    roi = (5, 3, w - 9, h - 6)  # inclusive, strictly inside the image
+    mesh = make_device_mesh(shape=shape)
+
+    dense = carve_views(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, roi, opt
+    )
+    sharded = carve_views_sharded(
+        VoxelGridState.create(grid, sharding=grid_sharding(mesh)),
+        grid, w2c, pp, fl, imgs, roi, opt, mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.sdf), np.asarray(dense.sdf)
+    )
+
+    dense_w = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt,
+        roi=roi,
+    )
+    sharded_w = carve_views_warp_sharded(
+        VoxelGridState.create(grid, sharding=grid_sharding(mesh)),
+        grid, w2c, pp, fl, imgs, opt=opt, mesh=mesh, roi=roi,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded_w.sdf), np.asarray(dense_w.sdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded_w.update_num), np.asarray(dense_w.update_num)
+    )
+    # the ROI actually bit (different from the full-image result)
+    full_w = carve_views_warp(
+        VoxelGridState.create(grid), grid, w2c, pp, fl, imgs, opt=opt
+    )
+    assert not np.array_equal(
+        np.asarray(dense_w.sdf), np.asarray(full_w.sdf)
+    )
+
+
 @pytest.mark.parametrize("shape", MULTI_AXIS_SHAPES)
 @pytest.mark.parametrize("linear_interp", [True, False])
 def test_multiaxis_fused_mc_equals_dense(shape, linear_interp):

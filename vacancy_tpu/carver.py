@@ -197,6 +197,8 @@ class VoxelCarver:
         silhouettes: np.ndarray,
         engine: str = "exact",
         debug: bool = False,
+        roi_min: Optional[Tuple[int, int]] = None,
+        roi_max: Optional[Tuple[int, int]] = None,
     ) -> np.ndarray:
         """Fuse a batch of views in one compiled step (the TPU-native
         replacement for the reference's sequential multi-view Carve,
@@ -205,7 +207,12 @@ class VoxelCarver:
         engine: "exact" samples the 2D SDF per voxel with reference-exact
         bilinear/NN semantics; "warp" uses the two-pass projective-warp
         Pallas engine (~300x faster on TPU, sub-pixel approximation of
-        bilinear; full-image ROI only).
+        bilinear; same ROI/skip-mask semantics).
+
+        roi_min/roi_max: one inclusive image-space window applied to
+        EVERY view (the reference's batch Carve, voxel_carver.cc:516-528,
+        has no ROI variant -- this composes its per-view ROI overload,
+        voxel_carver.cc:394-413, with the batched fold).
 
         debug: NaN/Inf instrumentation (SURVEY section 5 sanitizer
         equivalent). The exact engine runs under jax checkify
@@ -220,6 +227,12 @@ class VoxelCarver:
             if hasattr(cameras, "w2c")  # a single (possibly batched) camera
             else stack_cameras(list(cameras))
         )
+        roi = None
+        if roi_min is not None or roi_max is not None:
+            w, h = camera.width, camera.height
+            rmin = roi_min or (0, 0)
+            rmax = roi_max or (w - 1, h - 1)
+            roi = (int(rmin[0]), int(rmin[1]), int(rmax[0]), int(rmax[1]))
         opt = self._effective_update_option()
         if engine == "exact":
             call = lambda: carve_masks(  # noqa: E731
@@ -227,6 +240,7 @@ class VoxelCarver:
                 self._grid,
                 camera,
                 jnp.asarray(silhouettes),
+                roi=roi,
                 opt=opt,
                 sdf_minmax_normalize=self._option.sdf_minmax_normalize,
                 sdf_scale=self._option.sdf_scale,
@@ -261,6 +275,7 @@ class VoxelCarver:
         sdf_images = jax.vmap(
             lambda m: make_signed_distance_field(
                 m,
+                roi,
                 minmax_normalize=self._option.sdf_minmax_normalize,
                 use_truncation=opt.use_truncation,
                 truncation_band=opt.truncation_band,
@@ -282,6 +297,7 @@ class VoxelCarver:
                 sdf_images,
                 opt=opt,
                 linear=linear,
+                roi=roi,
             )
         else:
             # orthographic cameras ride the affine special case of the
@@ -293,6 +309,7 @@ class VoxelCarver:
                 sdf_images,
                 opt=opt,
                 linear=linear,
+                roi=roi,
             )
         if debug:
             assert_finite("carve_batch: fusion state sdf", self._state.sdf)

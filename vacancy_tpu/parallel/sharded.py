@@ -845,7 +845,7 @@ def _emit_pieces_and_assemble(
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("grid", "opt", "linear", "mesh"))
+@partial(jax.jit, static_argnames=("grid", "opt", "linear", "mesh", "roi"))
 def carve_views_warp_sharded(
     state: VoxelGridState,
     grid: GridSpec,
@@ -856,6 +856,7 @@ def carve_views_warp_sharded(
     opt: VoxelUpdateOption = VoxelUpdateOption(),
     linear: bool = True,
     mesh: Optional[Mesh] = None,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> VoxelGridState:
     """Sharded multi-view fusion through the projective-warp engine.
 
@@ -864,7 +865,10 @@ def carve_views_warp_sharded(
     each shard warps against its own per-axis center slices -- still
     zero communication on ANY grid mesh rank (z / (z, y) / (z, y, x)
     blocks), same bit-exact update semantics as the single-device warp
-    engine restricted to the shard's block.
+    engine restricted to the shard's block. ``roi`` is the reference's
+    inclusive image-space (x0, y0, x1, y1) Carve window
+    (voxel_carver.cc:394-413) -- purely image-space, so it shards
+    trivially (every block clamps its taps to the same window).
     """
     from ..ops.fusion import apply_view_update
     from ..ops.fusion_warp import _warp_dist_one_view
@@ -901,7 +905,7 @@ def carve_views_warp_sharded(
                 s_, u_ = warp_fuse_planes(
                     s_, u_, cx, cy, cz, w2c_[i : i + vchunk],
                     pp_[i : i + vchunk], fl_[i : i + vchunk],
-                    imgs_[i : i + vchunk], opt, linear,
+                    imgs_[i : i + vchunk], opt, linear, roi=roi,
                 )
             return s_, u_
 
@@ -909,7 +913,7 @@ def carve_views_warp_sharded(
             s, u = carry
             img, w2c_i, pp_i, fl_i, max_i = xs
             dist, skip, outside = _warp_dist_one_view(
-                img, w2c_i, pp_i, fl_i, cx, cy, cz, linear
+                img, w2c_i, pp_i, fl_i, cx, cy, cz, linear, roi
             )
             if opt.update_outside == UpdateOutsideImage.NONE:
                 skip = skip | outside
