@@ -327,14 +327,20 @@ class VoxelCarver:
         iso_level: float = 0.0,
         linear_interp: bool = True,
         debug: bool = False,
+        engine: str = "auto",
     ) -> Mesh:
+        """Marching-cubes extraction (marching_cubes.cc:63-228 semantics).
+
+        engine: "auto" picks the fused Pallas kernel on TPU when the
+        plane fits its VMEM budget, else the XLA drivers; "fused"/"xla"
+        force one (byte-identical output either way)."""
         if debug:
             from .utils.debug import assert_finite
 
             assert_finite("extract: state sdf", self.state.sdf)
         mesh = extract_mesh(
             self.state, self.grid, iso_level=iso_level,
-            linear_interp=linear_interp,
+            linear_interp=linear_interp, engine=engine,
         )
         if debug:
             assert_finite("extract: vertices", mesh.vertices)
