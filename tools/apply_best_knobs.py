@@ -1,0 +1,69 @@
+"""Flip the fused warp kernel's shape-independent knob defaults
+(TAP2_DEFAULT / ROW_CULL_DEFAULT in ops/warp_fused.py) to the best
+combination measured by tools/sweep_warp_knobs.py, when it beats the
+baseline by at least --min-gain (default 2%).
+
+Only tap2 and row_cull are ever auto-applied: both are bit-identical by
+construction with on-chip byte-equality tests, valid at every shape
+(row_cull self-disables when h % 8 != 0), and carry no divisibility
+constraints. x_part / z_batch wins are shape-dependent (and z_batch
+requires nz % z_batch == 0) -- they are reported but never applied.
+
+Usage: python tools/apply_best_knobs.py [round] [min_gain]
+"""
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TARGET = os.path.join(REPO, "vacancy_tpu", "ops", "warp_fused.py")
+SAFE_KNOBS = ("tap2", "row_cull")
+
+
+def main() -> int:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    min_gain = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
+    sweep_path = os.path.join(REPO, f"SWEEP_KNOBS_r{rnd:02d}.json")
+    with open(sweep_path) as f:
+        sweep = json.load(f)
+
+    ok = [p for p in sweep["points"] if "gfusions_per_s" in p]
+    base = next((p for p in ok if p["tag"] == "baseline"), None)
+    safe = [p for p in ok
+            if all(k in SAFE_KNOBS for k in p["knobs"])]
+    if base is None or not safe:
+        print(json.dumps({"applied": False,
+                          "reason": "no baseline or no safe points"}))
+        return 0
+
+    best = max(safe, key=lambda p: p["gfusions_per_s"])
+    gain = best["gfusions_per_s"] / base["gfusions_per_s"] - 1.0
+    decision = {
+        "baseline": base["gfusions_per_s"],
+        "best_safe": best,
+        "gain": round(gain, 4),
+        "min_gain": min_gain,
+    }
+    if gain < min_gain:
+        print(json.dumps({"applied": False, **decision}))
+        return 0
+
+    with open(TARGET) as f:
+        src = f.read()
+    for knob in SAFE_KNOBS:
+        val = bool(best["knobs"].get(knob, False))
+        pat = rf"^{knob.upper()}_DEFAULT = (True|False)$"
+        new, n = re.subn(pat, f"{knob.upper()}_DEFAULT = {val}",
+                         src, flags=re.M)
+        assert n == 1, (knob, n)
+        src = new
+    with open(TARGET, "w") as f:
+        f.write(src)
+    print(json.dumps({"applied": True, **decision}))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

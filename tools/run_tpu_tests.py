@@ -128,6 +128,7 @@ def main() -> int:
 
     artifact = {
         "round": rnd,
+        "backend_available": True,
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "env": {"VACANCY_TEST_TPU": "1"},

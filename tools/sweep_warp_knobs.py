@@ -1,16 +1,21 @@
 """Sweep the fused warp kernel's scheduling knobs on the real chip
-(VERDICT r3 item 10): x_part x {512, 256, 128}, z_batch x {1,2,4,8},
-and tap2 (shared-index two-tap gather, bit-identical) at the
-512^3 x 24 headline config. Prints one line per point.
+(VERDICT r3 item 10 / r4 item 2): x_part x {512, 256, 128},
+z_batch x {2,4,8}, tap2 (shared-index two-tap gather) and row_cull
+(pass-1 row-band predication) -- all bit-identical knobs -- at the
+512^3 x 24 headline config. Prints one line per point AND writes a
+machine-readable artifact SWEEP_KNOBS_r{N}.json at the repo root so an
+unattended run (the outage-recovery chain) leaves a committable record.
 
 Run AFTER warming the compile service (CLAUDE.md rig caveat):
-    python tools/sweep_warp_knobs.py [n] [views]
+    python tools/sweep_warp_knobs.py [n] [views] [round]
 """
+import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -34,17 +39,27 @@ def measure(step, state, grid, n_views, iters=4):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    rnd = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
     opt = VoxelUpdateOption()
+    points = []
 
     def run(tag, **kw):
         def step(st):
             return carve_views_warp_fused(
                 st, grid, w2c, pp, fl, imgs, opt, **kw
             )
-        rate, dt = measure(step, state, grid, n_views)
+        try:
+            rate, dt = measure(step, state, grid, n_views)
+        except Exception as e:  # record, keep sweeping the other points
+            print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
+            points.append({"tag": tag, "knobs": kw, "error": repr(e)[:300]})
+            return
         print(f"{tag}: {rate / 1e9:.2f} G/s ({dt * 1e3:.1f} ms)",
               flush=True)
+        points.append({"tag": tag, "knobs": kw,
+                       "gfusions_per_s": round(rate / 1e9, 3),
+                       "ms": round(dt * 1e3, 2)})
 
     run("baseline")
     run("tap2", tap2=True)
@@ -56,6 +71,20 @@ def main():
         run(f"z_batch={zb}", z_batch=zb)
     run("tap2+x_part=256", tap2=True, x_part=256)
     run("row_cull+tap2+x_part=256", row_cull=True, tap2=True, x_part=256)
+
+    ok = [p for p in points if "gfusions_per_s" in p]
+    best = max(ok, key=lambda p: p["gfusions_per_s"]) if ok else None
+    base = next((p for p in ok if p["tag"] == "baseline"), None)
+    out = {
+        "round": rnd, "n": n, "views": n_views,
+        "points": points, "best": best,
+        "baseline_gfusions_per_s":
+            base["gfusions_per_s"] if base else None,
+    }
+    path = os.path.join(REPO, f"SWEEP_KNOBS_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"out": path, "best": best}))
 
 
 if __name__ == "__main__":

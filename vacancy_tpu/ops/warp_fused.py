@@ -61,6 +61,14 @@ from .fusion import apply_view_update
 _SENTINEL_CLAMP = np.float32(-1e6)
 _LANE = 128
 
+# Bit-identical scheduling-knob defaults, inherited by every dispatch
+# path (warp_fuse_planes and carve_views_warp_fused). Flipped by
+# tools/apply_best_knobs.py when the on-chip sweep
+# (tools/sweep_warp_knobs.py) shows a shape-independent win; keep the
+# two lines machine-editable (NAME = True|False, one per line).
+TAP2_DEFAULT = False
+ROW_CULL_DEFAULT = False
+
 # one (nxp, ny) f32 working sub-plane may use at most this many bytes
 # ON A v5e (scaled to the actual device's VMEM at dispatch); the kernel
 # holds ~12 of them live plus the image stack. 512^2 planes (1 MB) are
@@ -442,8 +450,8 @@ def warp_fuse_planes(
     ortho_rows: "jax.Array | None" = None,  # f32[V, 4] real z rows
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
-    tap2: bool = False,
-    row_cull: bool = False,
+    tap2: bool = TAP2_DEFAULT,
+    row_cull: bool = ROW_CULL_DEFAULT,
 ):
     """Array-level core shared by all warp entry points (plain, sharded,
     blocked): fuses every view into the given planes in one kernel.
@@ -582,8 +590,8 @@ def carve_views_warp_fused(
     x_part: "int | None" = None,
     roi: "tuple[int, int, int, int] | None" = None,
     z_batch: int = 1,
-    tap2: bool = False,
-    row_cull: bool = False,
+    tap2: bool = TAP2_DEFAULT,
+    row_cull: bool = ROW_CULL_DEFAULT,
 ) -> VoxelGridState:
     """Multi-view warp fusion in one Pallas kernel (see module doc).
 
