@@ -49,15 +49,29 @@ print("warm ok", float(jnp.sum(y)), jax.default_backend(),
 
 
 def _probe_attempts():
-    """Timestamped backend-probe attempts from the outage-recovery loop
-    (if one ran this round) -- evidence that an unavailable backend was
-    being continuously re-probed, not ignored."""
-    path = "/tmp/tpu_probe_attempts.jsonl"
+    """Timestamped backend-probe attempts from the outage-recovery
+    loops (if any ran this round) -- evidence that an unavailable
+    backend was being continuously re-probed, not ignored. Merges the
+    supervisor's JSONL with warm_retry.sh's attempt log."""
+    out = []
     try:
-        with open(path) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
+        with open("/tmp/tpu_probe_attempts.jsonl") as f:
+            out = [json.loads(ln) for ln in f if ln.strip()]
     except (OSError, ValueError):
-        return []
+        pass
+    try:
+        with open("/tmp/warm_retry.log") as f:
+            for ln in f:
+                if ln.startswith("=== attempt "):
+                    _, _, n, hms = ln.split()
+                    out.append({"t": hms, "ok": False,
+                                "src": f"warm_retry #{n}"})
+                elif ln.startswith("=== SUCCESS"):
+                    out.append({"t": ln.split()[-1], "ok": True,
+                                "src": "warm_retry"})
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def _warm_service() -> "tuple[bool, str]":
