@@ -1,0 +1,100 @@
+"""The unattended knob-default apply tool (tools/apply_best_knobs.py)
+edits product source with nobody watching (the outage-recovery chain
+runs it after the on-chip sweep) -- pin its decision rule and its
+source rewrite.
+"""
+import importlib.util
+import os
+
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools", "apply_best_knobs.py")
+spec = importlib.util.spec_from_file_location("apply_best_knobs", _TOOL)
+abk = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(abk)
+
+
+def _sweep(points):
+    return {"round": 99, "n": 512, "views": 24, "points": points}
+
+
+BASE = {"tag": "baseline", "knobs": {}, "gfusions_per_s": 23.0}
+
+
+def test_decide_picks_best_safe_combo():
+    d = abk.decide(_sweep([
+        BASE,
+        {"tag": "tap2", "knobs": {"tap2": True}, "gfusions_per_s": 24.0},
+        {"tag": "row_cull+tap2",
+         "knobs": {"row_cull": True, "tap2": True},
+         "gfusions_per_s": 26.0},
+    ]), 0.02)
+    assert d["applied"]
+    assert d["knobs"] == {"tap2": True, "row_cull": True}
+
+
+def test_decide_never_applies_shape_dependent_knobs():
+    # x_part / z_batch points may be the global best but must only be
+    # reported: x_part is shape-tuned and z_batch needs nz % z_batch == 0
+    d = abk.decide(_sweep([
+        BASE,
+        {"tag": "tap2+x_part=256",
+         "knobs": {"tap2": True, "x_part": 256},
+         "gfusions_per_s": 30.0},
+        {"tag": "z_batch=4", "knobs": {"z_batch": 4},
+         "gfusions_per_s": 29.0},
+        {"tag": "tap2", "knobs": {"tap2": True}, "gfusions_per_s": 23.1},
+    ]), 0.02)
+    assert not d["applied"]  # best SAFE point gains only 0.4%
+
+
+def test_decide_below_threshold_and_errors():
+    d = abk.decide(_sweep([
+        BASE,
+        {"tag": "tap2", "knobs": {"tap2": True},
+         "gfusions_per_s": 23.2},
+        # failed points carry no gfusions_per_s and must be ignored
+        {"tag": "row_cull", "knobs": {"row_cull": True},
+         "error": "XlaRuntimeError(...)"},
+    ]), 0.02)
+    assert not d["applied"]
+    d2 = abk.decide(_sweep([BASE]), 0.02)
+    assert not d2["applied"]
+    d3 = abk.decide(_sweep([
+        {"tag": "tap2", "knobs": {"tap2": True}, "gfusions_per_s": 50.0},
+    ]), 0.02)
+    assert not d3["applied"]  # no baseline -> refuse
+
+
+def test_apply_rewrites_exactly_the_constant_lines():
+    src = (
+        "X = 1\n"
+        "TAP2_DEFAULT = False\n"
+        "ROW_CULL_DEFAULT = False\n"
+        "def f(tap2=TAP2_DEFAULT):\n    pass\n"
+    )
+    out = abk.apply_to_source(src, {"tap2": True, "row_cull": False})
+    assert "TAP2_DEFAULT = True\n" in out
+    assert "ROW_CULL_DEFAULT = False\n" in out
+    assert out.count("DEFAULT") == src.count("DEFAULT")
+    # back-flip restores the original text exactly
+    assert abk.apply_to_source(out, {}) == src
+
+
+def test_apply_refuses_ambiguous_source():
+    with pytest.raises(AssertionError):
+        abk.apply_to_source("TAP2_DEFAULT = False\n" * 2,
+                            {"tap2": True})
+
+
+def test_real_target_is_machine_editable():
+    # the two constant lines exist exactly once each in the live kernel
+    with open(abk.TARGET) as f:
+        src = f.read()
+    # a no-op apply (knobs at their current values) round-trips
+    import re
+    cur = {k: re.search(
+        rf"^{k.upper()}_DEFAULT = (True|False)$", src, re.M
+    ).group(1) == "True" for k in abk.SAFE_KNOBS}
+    assert abk.apply_to_source(src, cur) == src

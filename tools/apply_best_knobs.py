@@ -21,6 +21,43 @@ TARGET = os.path.join(REPO, "vacancy_tpu", "ops", "warp_fused.py")
 SAFE_KNOBS = ("tap2", "row_cull")
 
 
+def decide(sweep: dict, min_gain: float) -> dict:
+    """Pick the best safe (shape-independent) sweep point and decide
+    whether its gain over baseline clears min_gain. Pure; returns a
+    summary dict with 'applied' and, when True, 'knobs'."""
+    ok = [p for p in sweep["points"] if "gfusions_per_s" in p]
+    base = next((p for p in ok if p["tag"] == "baseline"), None)
+    safe = [p for p in ok if all(k in SAFE_KNOBS for k in p["knobs"])]
+    if base is None or not safe:
+        return {"applied": False,
+                "reason": "no baseline or no safe points"}
+    best = max(safe, key=lambda p: p["gfusions_per_s"])
+    gain = best["gfusions_per_s"] / base["gfusions_per_s"] - 1.0
+    out = {
+        "baseline": base["gfusions_per_s"],
+        "best_safe": best,
+        "gain": round(gain, 4),
+        "min_gain": min_gain,
+        "applied": gain >= min_gain,
+    }
+    if out["applied"]:
+        out["knobs"] = {k: bool(best["knobs"].get(k, False))
+                        for k in SAFE_KNOBS}
+    return out
+
+
+def apply_to_source(src: str, knobs: dict) -> str:
+    """Rewrite the machine-editable default-constant lines. Pure;
+    asserts each constant appears exactly once."""
+    for knob in SAFE_KNOBS:
+        val = bool(knobs.get(knob, False))
+        pat = rf"^{knob.upper()}_DEFAULT = (True|False)$"
+        src, n = re.subn(pat, f"{knob.upper()}_DEFAULT = {val}",
+                         src, flags=re.M)
+        assert n == 1, (knob, n)
+    return src
+
+
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     min_gain = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
@@ -28,42 +65,15 @@ def main() -> int:
     with open(sweep_path) as f:
         sweep = json.load(f)
 
-    ok = [p for p in sweep["points"] if "gfusions_per_s" in p]
-    base = next((p for p in ok if p["tag"] == "baseline"), None)
-    safe = [p for p in ok
-            if all(k in SAFE_KNOBS for k in p["knobs"])]
-    if base is None or not safe:
-        print(json.dumps({"applied": False,
-                          "reason": "no baseline or no safe points"}))
-        return 0
-
-    best = max(safe, key=lambda p: p["gfusions_per_s"])
-    gain = best["gfusions_per_s"] / base["gfusions_per_s"] - 1.0
-    decision = {
-        "baseline": base["gfusions_per_s"],
-        "best_safe": best,
-        "gain": round(gain, 4),
-        "min_gain": min_gain,
-    }
-    if gain < min_gain:
-        print(json.dumps({"applied": False, **decision}))
-        return 0
-
-    with open(TARGET) as f:
-        src = f.read()
-    for knob in SAFE_KNOBS:
-        val = bool(best["knobs"].get(knob, False))
-        pat = rf"^{knob.upper()}_DEFAULT = (True|False)$"
-        new, n = re.subn(pat, f"{knob.upper()}_DEFAULT = {val}",
-                         src, flags=re.M)
-        assert n == 1, (knob, n)
-        src = new
-    with open(TARGET, "w") as f:
-        f.write(src)
-    print(json.dumps({"applied": True, **decision}))
+    decision = decide(sweep, min_gain)
+    if decision.get("applied"):
+        with open(TARGET) as f:
+            src = f.read()
+        with open(TARGET, "w") as f:
+            f.write(apply_to_source(src, decision["knobs"]))
+    print(json.dumps(decision))
     return 0
 
 
 if __name__ == "__main__":
-    main()
-    sys.exit(0)
+    sys.exit(main())
