@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-5 outage-recovery supervisor (repo-resident: /tmp does not
+# survive session restarts, which is how the round-4 copy was lost).
+#
+# Loops a trivial-Pallas-kernel probe of the axon backend; each FAILED
+# init takes ~26 min (tunnel connect timeout), so no sleep is needed
+# between attempts beyond a short grace. NO timeouts, NO kills
+# (CLAUDE.md rig caveat: killing an in-flight first compile can down
+# the backend for hours). On success it fires tools/run_r5_chain.sh,
+# which commits every artifact as it lands.
+#
+# Probe attempts land in /tmp/tpu_probe_attempts.jsonl, which
+# run_tpu_tests.py merges into the TPU_TESTS artifact as outage
+# evidence.
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p onchip_r5
+LOG=onchip_r5/supervisor.log
+ATT=/tmp/tpu_probe_attempts.jsonl
+MAX=${1:-40}
+
+echo "=== supervisor start $(date -u +%F' '%T) (max $MAX probes)" >> "$LOG"
+for i in $(seq 1 "$MAX"); do
+  echo "=== probe $i $(date -u +%F' '%T)" >> "$LOG"
+  T0=$(date +%s)
+  python - >> "$LOG" 2>&1 <<'EOF'
+import time, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+t0 = time.time()
+k = lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...] * 2.0)
+y = pl.pallas_call(
+    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+)(jnp.ones((8, 128), jnp.float32))
+assert jax.default_backend() != "cpu", "fell back to cpu"
+print("PROBE_OK", float(jnp.sum(y)), jax.default_backend(),
+      round(time.time() - t0, 1), flush=True)
+EOF
+  RC=$?
+  DUR=$(( $(date +%s) - T0 ))
+  OK=false; [ "$RC" -eq 0 ] && OK=true
+  echo "{\"t\": \"$(date -u +%T)\", \"ok\": $OK, \"src\": \"r5_supervisor #$i\", \"dur_s\": $DUR}" >> "$ATT"
+  if [ "$RC" -eq 0 ]; then
+    echo "=== chip BACK after probe $i (${DUR}s); firing chain" >> "$LOG"
+    bash tools/run_r5_chain.sh >> "$LOG" 2>&1
+    echo "=== chain finished rc=$? $(date -u +%F' '%T)" >> "$LOG"
+    exit 0
+  fi
+  sleep 30
+done
+echo "=== supervisor exhausted $MAX probes $(date -u +%F' '%T)" >> "$LOG"
+exit 1
