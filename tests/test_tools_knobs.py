@@ -67,6 +67,19 @@ def test_decide_below_threshold_and_errors():
     assert not d3["applied"]  # no baseline -> refuse
 
 
+def test_decide_refuses_smoke_artifacts():
+    # a CPU-interpret plumbing smoke (VACANCY_SWEEP_SMOKE=1) must never
+    # flip on-chip defaults, even with a huge apparent gain
+    sw = _sweep([
+        BASE,
+        {"tag": "tap2", "knobs": {"tap2": True}, "gfusions_per_s": 50.0},
+    ])
+    sw["smoke"] = True
+    d = abk.decide(sw, 0.02)
+    assert not d["applied"]
+    assert "smoke" in d["reason"]
+
+
 def test_apply_rewrites_exactly_the_constant_lines():
     src = (
         "X = 1\n"

@@ -1,0 +1,50 @@
+"""The on-chip knob sweep (tools/sweep_warp_knobs.py) runs UNATTENDED
+as step 2 of the outage-recovery chain -- a crash there wastes the
+first chip window in days. Exercise its full main() plumbing (case
+build, measure, error-point recording, artifact write, best pick) as a
+subprocess in CPU-interpret smoke mode, restricted to three points so
+the test stays fast: one measured, one error-path (x_part=512 does not
+divide the smoke nx=128), one knobbed.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "sweep_warp_knobs.py")
+
+
+def test_sweep_smoke_subprocess(tmp_path):
+    out = tmp_path / "sweep.json"
+    env = dict(
+        os.environ,
+        VACANCY_SWEEP_SMOKE="1",
+        VACANCY_SWEEP_OUT=str(out),
+        VACANCY_SWEEP_ONLY="baseline,x_part=512,z_batch=2",
+    )
+    r = subprocess.run(
+        [sys.executable, TOOL], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    art = json.loads(out.read_text())
+    assert art["smoke"] is True and art["backend"] == "cpu"
+    tags = {p["tag"]: p for p in art["points"]}
+    assert set(tags) == {"baseline", "x_part=512", "z_batch=2"}
+    assert tags["baseline"]["gfusions_per_s"] > 0
+    assert "error" in tags["x_part=512"]  # recorded, not fatal
+    assert art["best"]["tag"] in ("baseline", "z_batch=2")
+
+    # the artifact feeds apply_best_knobs: its decide() must both parse
+    # it AND refuse to act on smoke data
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "apply_best_knobs",
+        os.path.join(REPO, "tools", "apply_best_knobs.py"),
+    )
+    abk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(abk)
+    d = abk.decide(art, 0.02)
+    assert not d["applied"] and "smoke" in d["reason"]

@@ -25,6 +25,10 @@ def decide(sweep: dict, min_gain: float) -> dict:
     """Pick the best safe (shape-independent) sweep point and decide
     whether its gain over baseline clears min_gain. Pure; returns a
     summary dict with 'applied' and, when True, 'knobs'."""
+    if sweep.get("smoke"):
+        # a CPU-interpret plumbing smoke must never flip on-chip
+        # defaults, even if its artifact lands at the real path
+        return {"applied": False, "reason": "smoke artifact (not chip data)"}
     ok = [p for p in sweep["points"] if "gfusions_per_s" in p]
     base = next((p for p in ok if p["tag"] == "baseline"), None)
     safe = [p for p in ok if all(k in SAFE_KNOBS for k in p["knobs"])]

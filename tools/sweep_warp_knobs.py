@@ -8,6 +8,13 @@ unattended run (the outage-recovery chain) leaves a committable record.
 
 Run AFTER warming the compile service (CLAUDE.md rig caveat):
     python tools/sweep_warp_knobs.py [n] [views] [round]
+
+VACANCY_SWEEP_SMOKE=1 runs the IDENTICAL sweep/record/decide plumbing
+on the CPU backend in Pallas interpret mode at a tiny non-cubic case
+(8 x 128 x 128, 2 views) so the unattended chain's step 2 is validated
+end to end without a chip (the x_part points then exercise the
+error-record path: 512/256 do not divide nx=128). VACANCY_SWEEP_OUT
+overrides the artifact path (tests point it at a tmp dir).
 """
 import json
 import os
@@ -17,11 +24,63 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+SMOKE = os.environ.get("VACANCY_SWEEP_SMOKE") == "1"
+if SMOKE:
+    import jax
+
+    # before backend init (CLAUDE.md: env JAX_PLATFORMS can be
+    # overridden during init; the config route is reliable)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 import bench  # noqa: E402
 from vacancy_tpu.config import VoxelUpdateOption  # noqa: E402
 from vacancy_tpu.ops.warp_fused import carve_views_warp_fused  # noqa: E402
+
+
+def build_smoke_case(n_views=2, h=64, w=128):
+    """Tiny non-cubic (nz=8, ny=nx=128) case for the interpret-mode
+    plumbing smoke: the smallest lane-aligned planes the kernel accepts,
+    with nz divisible by every z_batch sweep value."""
+    import numpy as np
+
+    from vacancy_tpu.camera import PinholeCamera
+    from vacancy_tpu.grid import GridSpec, VoxelGridState
+    from vacancy_tpu.synthetic import look_at
+
+    res = 2.0 / 128
+    grid = GridSpec(
+        bb_min=(-1.0, -1.0, -1.0),
+        bb_max=(
+            -1.0 + (128 + 0.3) * res,
+            -1.0 + (128 + 0.3) * res,
+            -1.0 + (8 + 0.3) * res,
+        ),
+        resolution=res,
+    )
+    assert grid.shape_zyx == (8, 128, 128), grid.shape_zyx
+    rng = np.random.default_rng(0)
+    cams = [
+        PinholeCamera.create(
+            w, h,
+            c2w=look_at(
+                [3.5 * np.sin(2 * np.pi * i / n_views), 0.5,
+                 -3.5 * np.cos(2 * np.pi * i / n_views)],
+                np.zeros(3),
+            ),
+            principal_point=np.array(
+                [(w - 1) / 2, (h - 1) / 2], np.float32
+            ),
+            focal_length=np.array([100.0, 100.0], np.float32),
+        )
+        for i in range(n_views)
+    ]
+    w2c = jnp.stack([c.w2c for c in cams])
+    pp = jnp.stack([c.principal_point for c in cams])
+    fl = jnp.stack([c.focal_length for c in cams])
+    imgs = jnp.asarray(rng.normal(size=(n_views, h, w)).astype(np.float32))
+    return grid, VoxelGridState.create(grid), w2c, pp, fl, imgs
 
 
 def measure(step, state, grid, n_views, iters=4):
@@ -40,17 +99,29 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     rnd = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
+    if SMOKE:
+        grid, state, w2c, pp, fl, imgs = build_smoke_case()
+        n, n_views = 128, w2c.shape[0]
+        common, iters = {"interpret": True}, 1
+    else:
+        grid, state, w2c, pp, fl, imgs = bench.build_case(n, n_views)
+        common, iters = {}, 4
     opt = VoxelUpdateOption()
     points = []
 
+    only = os.environ.get("VACANCY_SWEEP_ONLY")
+    only = set(only.split(",")) if only else None
+
     def run(tag, **kw):
+        if only is not None and tag not in only:
+            return
+
         def step(st):
             return carve_views_warp_fused(
-                st, grid, w2c, pp, fl, imgs, opt, **kw
+                st, grid, w2c, pp, fl, imgs, opt, **common, **kw
             )
         try:
-            rate, dt = measure(step, state, grid, n_views)
+            rate, dt = measure(step, state, grid, n_views, iters)
         except Exception as e:  # record, keep sweeping the other points
             print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
             points.append({"tag": tag, "knobs": kw, "error": repr(e)[:300]})
@@ -58,7 +129,7 @@ def main():
         print(f"{tag}: {rate / 1e9:.2f} G/s ({dt * 1e3:.1f} ms)",
               flush=True)
         points.append({"tag": tag, "knobs": kw,
-                       "gfusions_per_s": round(rate / 1e9, 3),
+                       "gfusions_per_s": round(rate / 1e9, 6),
                        "ms": round(dt * 1e3, 2)})
 
     run("baseline")
@@ -77,11 +148,14 @@ def main():
     base = next((p for p in ok if p["tag"] == "baseline"), None)
     out = {
         "round": rnd, "n": n, "views": n_views,
+        "smoke": SMOKE, "backend": jnp.zeros(1).devices().pop().platform,
         "points": points, "best": best,
         "baseline_gfusions_per_s":
             base["gfusions_per_s"] if base else None,
     }
-    path = os.path.join(REPO, f"SWEEP_KNOBS_r{rnd:02d}.json")
+    path = os.environ.get("VACANCY_SWEEP_OUT") or os.path.join(
+        REPO, f"SWEEP_KNOBS_r{rnd:02d}.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"out": path, "best": best}))
