@@ -142,6 +142,12 @@ def main():
         run(f"z_batch={zb}", z_batch=zb)
     run("tap2+x_part=256", tap2=True, x_part=256)
     run("row_cull+tap2+x_part=256", row_cull=True, tap2=True, x_part=256)
+    # stacked combos: the knobs attack different costs (row_cull: pass-1
+    # rows; tap2: gather selects; z_batch: cross-plane overlap), so the
+    # best point may be their composition (z_batch combos are
+    # reported-only -- never auto-applied, see apply_best_knobs)
+    run("row_cull+z_batch=4", row_cull=True, z_batch=4)
+    run("row_cull+tap2+z_batch=4", row_cull=True, tap2=True, z_batch=4)
 
     ok = [p for p in points if "gfusions_per_s" in p]
     best = max(ok, key=lambda p: p["gfusions_per_s"]) if ok else None
