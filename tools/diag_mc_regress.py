@@ -1,0 +1,90 @@
+"""Diagnose the r05 fused-MC extraction slowdown (0.21s -> 0.81s at
+256^3, 0.79s -> 26.0s at 512^3 warm vs BENCH_r03).
+
+Times, on the real chip, at 256^3 (and optionally 512^3):
+  1. the marching_cubes_fused DEVICE call alone (counts pulled to sync)
+  2. the full extract_mesh_fused (device + capacity loop + host tail)
+  3. the host tail alone (finish_fused_extract on prebuilt outs)
+
+Usage: python tools/diag_mc_regress.py [n ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ns = [int(a) for a in sys.argv[1:]] or [256]
+    # warm gate: trivial kernel first, NO timeout (rig caveat)
+    t0 = time.perf_counter()
+    print("warm:", float(jnp.sum(jnp.ones((8, 128)))),
+          jax.default_backend(), round(time.perf_counter() - t0, 1),
+          flush=True)
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _sphere_state
+    from vacancy_tpu.ops.mc_fused import (
+        extract_mesh_fused, finish_fused_extract, marching_cubes_fused,
+        pick_y_parts,
+    )
+
+    for n in ns:
+        grid, state = _sphere_state(n)
+        h = pick_y_parts(n, n)
+        ny2 = n // h
+        rows = max(2, ny2 // 8)
+        print(f"n={n} y_parts={h} rows0={rows}", flush=True)
+
+        def dev(rows_e, rows_c):
+            outs = marching_cubes_fused(
+                state, grid, y_parts=h, rows_e=rows_e, rows_c=rows_c,
+                interpret=False,
+            )
+            counts = np.asarray(jnp.ravel(outs[8])).reshape(-1, 8)
+            return outs, counts
+
+        # warm both capacity sizes the retry loop will visit
+        outs, counts = dev(rows, rows)
+        need_e = int(counts[:, :3].max(initial=0))
+        need_c = int(counts[:, 3].max(initial=0))
+        print(f"  need_e={need_e} cap_e={rows * n} "
+              f"need_c={need_c} cap_c={rows * n}", flush=True)
+        rows_e = min(ny2 + 2, max(rows * 2, -(-need_e // n)))
+        rows_c = min(ny2 + 2, max(rows * 2, -(-need_c // n)))
+        retry = need_e > rows * n or need_c > rows * n
+        if retry:
+            outs, counts = dev(rows_e, rows_c)
+            print(f"  RETRY -> rows_e={rows_e} rows_c={rows_c}",
+                  flush=True)
+
+        for tag, fn in [
+            ("device-call(final caps)",
+             lambda: dev(rows_e if retry else rows,
+                         rows_c if retry else rows)),
+            ("host-tail", lambda: finish_fused_extract(
+                outs, counts, n, n, grid)),
+        ]:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            print(f"  {tag}: {best:.3f}s", flush=True)
+
+        # full path (what bench times)
+        extract_mesh_fused(state, grid)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m = extract_mesh_fused(state, grid)
+            best = min(best, time.perf_counter() - t0)
+        print(f"  full extract: {best:.3f}s verts={m.num_vertices}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

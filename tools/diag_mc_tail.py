@@ -1,0 +1,83 @@
+"""Decompose the fused-MC host tail at 512^3: pack dispatch, device->
+host transfer, and host assembly, plus a raw tunnel-rate probe."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    t0 = time.perf_counter()
+    print("warm:", float(jnp.sum(jnp.ones((8, 128)))),
+          jax.default_backend(), round(time.perf_counter() - t0, 1),
+          flush=True)
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _sphere_state
+    from vacancy_tpu.ops.mc_fused import (
+        _bucket_cap, _pack_all, assemble_fused_streams,
+        marching_cubes_fused, pick_y_parts,
+    )
+
+    # raw tunnel rate: 8 MB device->host
+    x = jnp.ones((2 * 1024 * 1024,), jnp.int32) * 3
+    np.asarray(x)  # warm the transfer program
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(x)
+        print(f"tunnel: 8MB in {time.perf_counter() - t0:.3f}s",
+              flush=True)
+
+    n = 512
+    grid, state = _sphere_state(n)
+    h = pick_y_parts(n, n)
+    outs = marching_cubes_fused(
+        state, grid, y_parts=h, rows_e=8, rows_c=8, interpret=False
+    )
+    counts = np.asarray(jnp.ravel(outs[8])).reshape(-1, 8)
+    tots = [int(counts[:, a].sum()) for a in range(4)]
+    caps = tuple(_bucket_cap(t) for t in tots)
+    print("tots:", tots, "caps:", caps,
+          "buf MB:", round(2 * sum(caps) * 4 / 1e6, 1), flush=True)
+
+    dev = _pack_all(tuple(outs[:8]), outs[8].reshape(-1, 8), caps)
+    float(dev[0])  # sync (block_until_ready is a no-op through axon)
+    for tag, fn in [
+        ("pack dispatch", lambda: float(
+            _pack_all(tuple(outs[:8]), outs[8].reshape(-1, 8), caps)[0]
+        )),
+        ("transfer", lambda: np.asarray(dev)),
+    ]:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(f"{tag}: {best:.3f}s", flush=True)
+
+    buf = np.asarray(dev)
+    vpos_parts, vlin_parts = [], []
+    at = 0
+    for a in range(3):
+        vpos_parts.append(buf[at: at + tots[a]].view(np.float32))
+        at += caps[a]
+        vlin_parts.append(buf[at: at + tots[a]].astype(np.int64))
+        at += caps[a]
+    clin = buf[at: at + tots[3]]
+    at += caps[3]
+    ccase = buf[at: at + tots[3]]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = assemble_fused_streams(
+            vpos_parts, vlin_parts, clin, ccase, n, n, grid
+        )
+        best = min(best, time.perf_counter() - t0)
+    print(f"assemble: {best:.3f}s verts={m.num_vertices}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

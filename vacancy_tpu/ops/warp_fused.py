@@ -99,11 +99,12 @@ def _pick_x_part(ny: int, nx: int,
 
 
 # auto-padding an unaligned plane into the kernel wastes
-# (padded area / real area) work; the kernel is ~2.4x the two-pass
-# engine, so padding wins while the ratio stays under ~2.4 -- capped at
-# 2.0 for margin. Bunny-class grids (54^2: ratio 5.7) keep the scan;
-# 320-class grids (ratio 1.44) ride the kernel.
-_PAD_WORK_MAX = 2.0
+# (padded area / real area) work. Measured on-chip (BENCH_ROI_PAD_r05,
+# v5e, fused-padded vs two-pass at equal shapes): ratio 1.44 -> x2.14,
+# 1.64 -> x1.45, 2.56 -> x1.25, 3.16 -> x0.49 -- the crossover sits
+# between 2.56 and 3.16, so the cap is 2.6 (every measured <=2.56 point
+# wins). Bunny-class grids (54^2: ratio 5.7) keep the two-pass scan.
+_PAD_WORK_MAX = 2.6
 
 
 def plane_pad_dims(ny: int, nx: int) -> "tuple[int, int] | None":
