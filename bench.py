@@ -165,6 +165,61 @@ def run_mc_bench(n=256, iters=3, radius=0.8):
     return (n - 1) ** 3 / best, best, mesh.num_vertices
 
 
+def _link_mb_s(iters=2):
+    """Measured device->host link rate (MB/s) for an 8 MiB transfer.
+
+    The MC extraction metrics are transfer-dominated through the axon
+    tunnel (~25 MB/s nominal, measured swinging 3-60 MB/s with service
+    state -- the r04->r05 chain recorded 26 s for a 512^3 extraction
+    that re-measures at 1.1 s in a fresh process). Recording the link
+    rate alongside them keeps a congested tunnel from ever reading as
+    a kernel regression. A FRESH array is built per iteration: jax
+    caches the host copy of a transferred array, so re-transferring
+    the same one times nothing."""
+    import jax.numpy as jnp
+
+    n = 2 * 1024 * 1024  # 8 MiB of i32
+    np.asarray(jnp.zeros((n,), jnp.int32))  # warm the transfer program
+    best = float("inf")
+    for i in range(iters):
+        x = jnp.full((n,), i + 1, jnp.int32)
+        float(x[0])  # materialize on device before timing the pull
+        t0 = time.perf_counter()
+        np.asarray(x)
+        best = min(best, time.perf_counter() - t0)
+    return 8.0 / best
+
+
+def run_mc_device_bench(n=256, iters=3, radius=0.8):
+    """Device-only fused-MC kernel time at n^3 (counts pulled to sync;
+    excludes the stream pack/transfer/host-assembly tail, which is
+    host-link-bound -- see _link_mb_s). Returns warm seconds."""
+    import jax.numpy as jnp
+
+    from vacancy_tpu.ops.mc_fused import (
+        marching_cubes_fused, pick_y_parts,
+    )
+
+    grid, state = _sphere_state(n, radius)
+    h = pick_y_parts(n, n)
+    rows = max(2, (n // h) // 8)
+
+    def call():
+        outs = marching_cubes_fused(
+            state, grid, y_parts=h, rows_e=rows, rows_c=rows,
+            interpret=False,
+        )
+        return np.asarray(jnp.ravel(outs[8]))
+
+    call()  # warmup/compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        call()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     backend, err = _probe_backend()
     cpu_ok = os.environ.get("VACANCY_BENCH_ALLOW_CPU") == "1"
@@ -208,6 +263,8 @@ def main():
     # (a realistic sphere vs a tiny one on the same lattice)
     _, mc512_s, mc512_verts = run_mc_bench(n=512, iters=2)
     _, mc512e_s, mc512e_verts = run_mc_bench(n=512, iters=2, radius=0.04)
+    mc_dev_s = run_mc_device_bench(n=256)
+    link = _link_mb_s()
     target = 1e9  # BASELINE: >= 1 Gvoxel-view fusions/s/chip
     print(
         json.dumps(
@@ -219,6 +276,8 @@ def main():
                 "warm_compile_s": round(warm_s, 1),
                 "mc_cubes_per_sec_256^3": round(mc_rate, 1),
                 "mc_extract_warm_s_256^3": round(mc_s, 4),
+                "mc_device_s_256^3": round(mc_dev_s, 4),
+                "host_link_mb_s": round(link, 1),
                 "mc_vertices_256^3": int(mc_verts),
                 "mc_extract_warm_s_512^3": round(mc512_s, 4),
                 "mc_vertices_512^3": int(mc512_verts),
