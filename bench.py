@@ -165,6 +165,31 @@ def run_mc_bench(n=256, iters=3, radius=0.8):
     return (n - 1) ** 3 / best, best, mesh.num_vertices
 
 
+def _ensure_native():
+    """Best-effort build of the C++ fast paths (native/) if missing.
+
+    They gate the mesh host tail (single-pass face expansion + PLY
+    write): the numpy fallback costs ~2.5x on the 1024^3 extraction
+    (r03 measured 3.7 s with native vs 6.5 s without in r5). A missing
+    .so here silently benchmarks the fallback -- as happened in the r5
+    chain -- so the bench builds it (seconds, gcc is baked into the
+    image) and records which path ran. Returns True when the fast path
+    is loadable."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(root, "native", "libvacancy_native.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(root, "native")],
+                capture_output=True, timeout=300,
+            )
+        except Exception:
+            pass
+    return os.path.exists(so)
+
+
 def _link_mb_s(iters=2):
     """Measured device->host link rate (MB/s) for an 8 MiB transfer.
 
@@ -257,6 +282,7 @@ def main():
             )
         )
         return
+    native_ok = _ensure_native()
     rate, _ = run_bench()
     mc_rate, mc_s, mc_verts = run_mc_bench()
     # the scale story: 512^3 extraction cost tracks surface occupancy
@@ -278,6 +304,7 @@ def main():
                 "mc_extract_warm_s_256^3": round(mc_s, 4),
                 "mc_device_s_256^3": round(mc_dev_s, 4),
                 "host_link_mb_s": round(link, 1),
+                "native_fast_path": native_ok,
                 "mc_vertices_256^3": int(mc_verts),
                 "mc_extract_warm_s_512^3": round(mc512_s, 4),
                 "mc_vertices_512^3": int(mc512_verts),

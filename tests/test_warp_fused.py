@@ -166,6 +166,10 @@ def test_plane_pad_dims_policy():
     assert plane_pad_dims(192, 320) == (256, 384)  # ratio 1.6: pad
     assert plane_pad_dims(53, 54) is None  # bunny-class ratio 5.7: scan
     assert plane_pad_dims(130, 130) is None  # ratio 3.8 just past 128
+    # the measured 2.6 crossover (BENCH_ROI_PAD_r05: ratio 2.56 still
+    # wins x1.25 on-chip, 3.16 loses): 160-class planes now pad
+    assert plane_pad_dims(160, 160) == (256, 256)  # ratio 2.56: pad
+    assert plane_pad_dims(144, 144) is None  # ratio 3.16: scan
 
 
 def test_fused_autopad_equals_twopass():
